@@ -1,0 +1,91 @@
+"""Scalar-function library unit tests (hashing / text / urls). No Ray."""
+
+import numpy as np
+
+from mdmpublic_ray.functions import hashing as H
+from mdmpublic_ray.functions import text as T
+from mdmpublic_ray.functions.urls import canonical_host, canonical_url
+
+
+def test_stable_hashes_are_stable():
+    assert H.stable_u32("abc") == H.stable_u32("abc")
+    assert H.stable_u64("abc") == H.stable_u64("abc")
+    assert H.content_digest("abc") == "900150983cd24fb0d6963f7d28e17f72"  # md5("abc")
+    assert H.stable_u32("abc") != H.stable_u32("abd")
+
+
+def test_minhash_similarity_tracks_jaccard():
+    a, b = H.minhash_permutations(128, seed=42)
+    t1 = T.tokens("the quick brown fox jumps over the lazy dog " * 10)
+    t2 = list(t1)
+    t2[5] = "cat"  # small edit
+    t3 = T.tokens("completely different words here entirely " * 10)
+    s1 = H.minhash_signature(H.shingle_hashes(t1), a, b)
+    s2 = H.minhash_signature(H.shingle_hashes(t2), a, b)
+    s3 = H.minhash_signature(H.shingle_hashes(t3), a, b)
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > 0.5
+    assert sim13 < 0.2
+
+
+def test_minhash_batch_matches_single():
+    a, b = H.minhash_permutations(64, seed=1)
+    docs = ["alpha beta gamma delta epsilon zeta", "", "one two three four five six seven"]
+    sets = [H.shingle_hashes(T.tokens(d)) for d in docs]
+    batch = H.minhash_signatures_batch(sets, a, b)
+    for i, s in enumerate(sets):
+        assert np.array_equal(batch[i], H.minhash_signature(s, a, b))
+
+
+def test_lsh_band_keys_agree_for_identical_sigs():
+    a, b = H.minhash_permutations(128, seed=42)
+    s = H.minhash_signature(H.shingle_hashes(T.tokens("x y z w v u t s r q")), a, b)
+    k1 = H.lsh_band_keys(s, 32)
+    k2 = H.lsh_band_keys(s.copy(), 32)
+    assert k1 == k2 and len(k1) == 32
+
+
+def test_simhash_close_for_similar_docs():
+    t1 = T.tokens("the quick brown fox jumps over the lazy dog " * 5)
+    t2 = t1[:-1] + ["cat"]
+    h1 = H.simhash64(np.array([H.stable_u64(t) for t in t1], dtype=np.uint64))
+    h2 = H.simhash64(np.array([H.stable_u64(t) for t in t2], dtype=np.uint64))
+    assert H.hamming64(h1, h2) < 12
+
+
+def test_jaro_winkler():
+    assert T.jaro_winkler("martha", "marhta") > 0.95
+    assert T.jaro_winkler("abc", "abc") == 1.0
+    assert T.jaro_winkler("abc", "xyz") == 0.0
+    assert 0.8 < T.jaro_winkler("dixon", "dicksonx") < 0.82
+
+
+def test_jaccard_and_tokens():
+    assert T.tokens("Hello, WORLD-42!") == ["hello", "world", "42"]
+    assert T.jaccard({"a", "b"}, {"b", "c"}) == 1 / 3
+    assert T.jaccard(set(), set()) == 1.0
+    assert T.normalize_ws("  a\t b\n\nc ") == "a b c"
+
+
+def test_quality_and_langid():
+    q = T.quality_features("The quick brown fox. The end.")
+    assert q["n_tokens"] == 6.0
+    assert 0 < q["stopword_ratio"] < 1
+    assert T.langid("the cat and the dog of the house") == "en"
+    assert T.langid("el perro y la casa de que un ser") == "es"
+    assert T.langid("") == "und"
+
+
+def test_urls():
+    assert canonical_host("https://WWW.Example.COM:8080/a/b?q=1") == "example.com"
+    assert canonical_url("http://www.example.com/a/b/") == "example.com/a/b"
+    assert canonical_url("https://example.com/") == "example.com/"
+    assert canonical_host("not a url") == ""
+
+
+def test_rolling_fingerprints_deterministic():
+    toks = T.tokens("one two three four five six seven eight nine ten")
+    f1 = T.rolling_fingerprints(toks)
+    f2 = T.rolling_fingerprints(list(toks))
+    assert f1 == f2 and len(f1) <= 8
