@@ -1,0 +1,241 @@
+"""The flagship entity-resolution pipeline (BASELINE.json north_star):
+
+  read pages → dedup-latest per url → actor-pool HTML extraction
+  → per-doc match features (MinHash / bottom-k sketch / title)
+  → multi-pass blocking (canonical host + LSH bands)
+  → capped within-block candidate pairs → pair dedup
+  → vectorized pairwise scoring (Jaccard + Jaro-Winkler) → match edges
+  → iterative hash-partitioned min-label propagation → clusters
+  → golden-record survivorship
+
+This is the Ray-Data re-expression of the MDM flow: staging bucket →
+match index → master bucket (SURVEY.md §0; ``cb_backup.py:45``,
+``es_backup.py:61``). Every wide step's key is listed in SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from ..stages.blocking import block_keys_stage, block_size_stats, features_stage
+from ..stages.cluster import connected_components
+from ..stages.dedup import dedup_latest
+from ..stages.extract import extract_stage
+from ..stages.golden import golden_records
+from ..stages.pairs import candidate_pairs
+from ..stages.scoring import score_pairs
+
+
+@dataclass
+class ERConfig:
+    seed: int = 42
+    # None → sized to the Ray cluster at runtime (util.default_partitions)
+    num_partitions: int | None = None
+    n_buckets: int = 64
+    max_block_size: int = 2000
+    threshold: float = 0.35
+    extract_batch_size: int = 256
+    extract_concurrency: tuple = (2, 8)
+    features_concurrency: tuple = (2, 8)
+    max_cc_rounds: int = 15
+    checkpoint_dir: str | None = None  # per-stage parquet + manifests
+    run_id: str = "run0"
+    stage_overrides: dict = field(default_factory=dict)
+
+
+def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
+    """Run the full pipeline; returns a dict of (lazy) Datasets:
+    deduped, features, blocks, pairs, scored, edges, clusters, golden.
+
+    When ``cfg.checkpoint_dir`` is set, each stage's output is written as
+    partitioned parquet with a lineage manifest and re-read (checkpoint +
+    lineage truncation); already-valid stages are SKIPPED on rerun —
+    see ``state/checkpoint.py``.
+    """
+    from ..stages.util import default_partitions
+
+    cfg = cfg or ERConfig()
+    if cfg.num_partitions is None:
+        cfg.num_partitions = default_partitions()
+    ck = None
+    if cfg.checkpoint_dir:
+        from ..state.checkpoint import CheckpointRunner
+
+        ck = CheckpointRunner(cfg.checkpoint_dir, cfg.run_id)
+
+    def stage(name, make):
+        """Stage boundary. With a checkpoint dir: parquet + manifest +
+        skip-if-valid. Without: ``materialize()`` — the pipeline DAG is a
+        diamond (deduped feeds extraction+nodes+golden; features feeds
+        blocking+scoring; edges is consumed repeatedly by the CC loop), so
+        un-pinned branch points would re-execute the whole upstream
+        lineage once per consumer. These intermediates are O(unique urls)
+        / O(candidate pairs) — they spill to the object store, not the
+        driver heap."""
+        if ck is None:
+            return make().materialize()
+        return ck.run_stage(name, make)
+
+    deduped = stage(
+        "deduped",
+        lambda: extract_stage(
+            dedup_latest(pages_ds, "url", "warc_ts", n_buckets=cfg.n_buckets),
+            batch_size=cfg.extract_batch_size,
+            concurrency=cfg.extract_concurrency,
+        ),
+    )
+    if deduped.count() == 0:
+        return _empty_outputs()
+
+    features = stage(
+        "features",
+        lambda: features_stage(
+            deduped, concurrency=cfg.features_concurrency, seed=cfg.seed
+        ),
+    )
+    blocks = stage("blocks", lambda: block_keys_stage(features))
+    pairs = stage(
+        "pairs",
+        lambda: candidate_pairs(
+            blocks, max_block_size=cfg.max_block_size, n_buckets=cfg.n_buckets
+        ),
+    )
+    def make_scored():
+        import ray.data as rd
+
+        if pairs.count() == 0:
+            # empty datasets lose their schema through groupby shuffles;
+            # joins on them fail — emit a typed empty result instead.
+            return rd.from_arrow(
+                pa.schema(
+                    [
+                        ("url_a", pa.string()),
+                        ("url_b", pa.string()),
+                        ("jaccard", pa.float64()),
+                        ("jw_title", pa.float64()),
+                        ("jw_url", pa.float64()),
+                        ("score", pa.float64()),
+                        ("is_match", pa.bool_()),
+                    ]
+                ).empty_table()
+            )
+        return score_pairs(
+            pairs,
+            features,
+            num_partitions=cfg.num_partitions,
+            threshold=cfg.threshold,
+        )
+
+    scored = stage("scored", make_scored)
+    edges = scored.map_batches(
+        lambda t: t.filter(t["is_match"]).select(["url_a", "url_b"]),
+        batch_format="pyarrow",
+    )
+    nodes = deduped.select_columns(["url"])
+    clusters = stage(
+        "clusters",
+        lambda: connected_components(
+            edges,
+            nodes,
+            num_partitions=cfg.num_partitions,
+            max_rounds=cfg.max_cc_rounds,
+        ),
+    )
+    golden = stage(
+        "golden",
+        lambda: golden_records(
+            clusters, deduped, num_partitions=cfg.num_partitions, n_buckets=cfg.n_buckets
+        ),
+    )
+    return {
+        "deduped": deduped,
+        "features": features,
+        "blocks": blocks,
+        "block_stats": block_size_stats(blocks),
+        "pairs": pairs,
+        "scored": scored,
+        "edges": edges,
+        "clusters": clusters,
+        "golden": golden,
+    }
+
+
+def _empty_outputs() -> dict:
+    """Typed empty result set for a zero-row input (empty datasets that
+    have passed through a shuffle lose their schema, breaking joins)."""
+    import ray.data as rd
+
+    def t(fields):
+        return rd.from_arrow(pa.schema(fields).empty_table())
+
+    s = pa.string()
+    f = pa.float64()
+    return {
+        "deduped": t([("url", s), ("warc_ts", pa.timestamp("us")), ("text", s), ("lang", s)]),
+        "features": t([("url", s), ("title", s), ("n_tokens", pa.int64()),
+                       ("sketch", pa.binary()), ("sig", pa.binary())]),
+        "blocks": t([("block_key", s), ("url", s)]),
+        "block_stats": t([("block_key", s), ("n_members", pa.int64())]),
+        "pairs": t([("url_a", s), ("url_b", s)]),
+        "scored": t([("url_a", s), ("url_b", s), ("jaccard", f), ("jw_title", f),
+                     ("jw_url", f), ("score", f), ("is_match", pa.bool_())]),
+        "edges": t([("url_a", s), ("url_b", s)]),
+        "clusters": t([("url", s), ("cluster_id", s)]),
+        "golden": t([("cluster_id", s), ("canonical_url", s), ("n_members", pa.int64()),
+                     ("langs", s), ("max_warc_ts", pa.timestamp("us")), ("text_len", pa.int64())]),
+    }
+
+
+def pairwise_metrics(clusters_ds, labels_ds, *, num_partitions: int | None = None) -> dict:
+    """Pairwise precision/recall/F1 of predicted clusters against labeled
+    pairs (BASELINE.json metric; SURVEY.md §2.5 A10). Prediction for a
+    labeled pair (a, b) is cluster_id[a] == cluster_id[b]. Distributed:
+    two hash joins + a global aggregate; only the 4 counters reach the
+    driver."""
+    from ..stages.util import default_partitions
+
+    num_partitions = num_partitions or default_partitions()
+    ca = clusters_ds.map_batches(
+        lambda t: pa.table({"url": t["url"], "cid_a": t["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+    cb = clusters_ds.map_batches(
+        lambda t: pa.table({"url": t["url"], "cid_b": t["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+    j = labels_ds.join(ca, "inner", num_partitions, on=("url_a",), right_on=("url",))
+    j = j.join(cb, "inner", num_partitions, on=("url_b",), right_on=("url",))
+
+    def counters(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pred = pc.equal(t["cid_a"], t["cid_b"])
+        actual = t["is_match"]
+        tp = pc.sum(pc.and_(pred, actual)).as_py() or 0
+        fp = pc.sum(pc.and_(pred, pc.invert(actual))).as_py() or 0
+        fn = pc.sum(pc.and_(pc.invert(pred), actual)).as_py() or 0
+        tn = pc.sum(pc.and_(pc.invert(pred), pc.invert(actual))).as_py() or 0
+        return pa.table(
+            {"tp": [tp], "fp": [fp], "fn": [fn], "tn": [tn]}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = j.map_batches(counters, batch_format="pyarrow").aggregate(
+        Sum("tp"), Sum("fp"), Sum("fn"), Sum("tn")
+    )
+    tp, fp, fn, tn = (
+        agg["sum(tp)"] or 0,
+        agg["sum(fp)"] or 0,
+        agg["sum(fn)"] or 0,
+        agg["sum(tn)"] or 0,
+    )
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {
+        "tp": int(tp), "fp": int(fp), "fn": int(fn), "tn": int(tn),
+        "precision": prec, "recall": rec, "f1": f1,
+    }

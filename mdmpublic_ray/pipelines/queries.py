@@ -1,0 +1,917 @@
+"""Conformance query registry: every operator family from SURVEY.md §2 as a
+Ray Data pipeline over the driver's parquet tables, each (where SQL can
+express it) paired with a DuckDB oracle statement producing IDENTICAL
+column names and values.
+
+Determinism engineering (why these queries hash-match the oracle):
+
+* **Money sums** use exact fixed-point: ``round(x*100)`` → int64 → Sum →
+  ``/100``. Integer sums are associative, so parallel execution order and
+  DuckDB agree bit-for-bit; the final int→double division is exact IEEE in
+  both engines. (Float accumulation would differ per execution order.)
+* **Timestamp arithmetic** happens in integer epoch-microseconds
+  (pyarrow cast ↔ DuckDB ``epoch_us``).
+* **Top-k / latest-k** always carries a total order (value, then id) so
+  limit boundaries are unique.
+* **Tokenization** is pinned to ``[a-z0-9]+`` over ``lower(text)`` —
+  reproducible as ``regexp_extract_all`` in DuckDB.
+
+Reference parity notes per query are in each docstring (file:line into
+/root/reference).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import text as T
+from ..functions.hashing import content_digest
+from ..sources.tables import read_table, read_table_arrow
+from ..stages.dedup import exact_dedup
+from ..stages.util import bucketed_map_groups, cents, partial_sum_groupby
+
+SESSION_GAP_US = 1_800_000_000  # 30 min sessionization gap (J6)
+
+# --------------------------------------------------------------------------
+# Relational / ops-analytics operators (SURVEY.md §2.2-§2.7)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """Grouped pricing aggregate with map-side combine (A3/A5/A7 family;
+    metric-projection ancestry dump_db_summary.sh:44-48)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": cents(t["l_quantity"]),
+                "price_c": cents(t["l_extendedprice"]),
+                "disc_c": cents(disc, 10_000),
+            }
+        )
+
+    agg = partial_sum_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"qty_c": "qty_c", "price_c": "price_c", "disc_c": "disc_c"},
+        "count_order",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.divide(pc.cast(t["qty_c"], pa.float64()), 100.0),
+                "sum_base_price": pc.divide(pc.cast(t["price_c"], pa.float64()), 100.0),
+                "sum_disc_price": pc.divide(pc.cast(t["disc_c"], pa.float64()), 10000.0),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000 AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project_lineitem(sf_dir: str):
+    """Predicate + projection pushed to the parquet read (M2/M3/M15;
+    grep/awk filter-pick ancestry dump_db_summary.sh:55-59). The row filter
+    runs at row-group level inside read_parquet — nothing else is read."""
+    return read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        filter=(pc.field("l_quantity") > 45.0),
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45
+"""
+
+
+def q_top_event_gaps(sf_dir: str):
+    """Ordered lag + global top-k (A4+T1; the jenkins-console slow-step
+    report, diagnostic_jenkinsjob_slow.py:49-54,82-93). Gap per user in
+    epoch-µs; total order (gap desc, event_id asc) makes the limit stable."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = df["ts"].astype("int64") // 1000  # ns → µs
+        gap = ts_us.groupby(df["user_id"]).diff()
+        out = pd.DataFrame(
+            {"event_id": df["event_id"], "user_id": df["user_id"], "gap_us": gap}
+        )
+        return out.dropna().astype({"gap_us": "int64"})
+
+    ds = bucketed_map_groups(ds, "user_id", lag)
+    return ds.sort(["gap_us", "event_id"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_GAPS = """
+SELECT event_id, user_id, gap_us FROM (
+  SELECT event_id, user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events) WHERE gap_us IS NOT NULL
+ORDER BY gap_us DESC, event_id ASC LIMIT 10
+"""
+
+
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (J6; ssh session assembly
+    ssh_login_report.sh:205-226): 30-min inactivity splits sessions."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+        df["ts_us"] = df["ts"].astype("int64") // 1000
+        gap = df.groupby("user_id")["ts_us"].diff()
+        df["session_no"] = (
+            (gap.isna() | (gap > SESSION_GAP_US)).astype("int64").groupby(df["user_id"]).cumsum()
+        )
+        g = df.groupby(["user_id", "session_no"], as_index=False).agg(
+            session_start_us=("ts_us", "min"),
+            session_end_us=("ts_us", "max"),
+            n_events=("ts_us", "size"),
+        )
+        return g.astype({"n_events": "int64"})
+
+    return bucketed_map_groups(ds, "user_id", sessionize)
+
+
+SQL_SESSIONS = """
+WITH gaps AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps)
+SELECT user_id, session_no, min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us, count(*) AS n_events
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+def q_events_json_k(sf_dir: str):
+    """JSON field pluck (json family §2.8; dump_db_summary.sh:44-48 json
+    projection analog) from the ``props`` JSON-string column."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def pluck(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["props"].map(lambda s: int(json.loads(s)["k"]))
+        return pd.DataFrame({"event_id": df["event_id"], "k": ks.astype("int64")})
+
+    return ds.map_batches(pluck, batch_format="pandas")
+
+
+SQL_JSON_K = """
+SELECT event_id, CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k FROM events
+"""
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Dedup-latest per key (T5/D4; INSERT OR IGNORE + newest-backup
+    selection, diagnostic_jenkinsjob_slow.py:62, monitor_server_filechanges.sh:138)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = df.drop_duplicates(subset=["user_id"], keep="last")
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"],
+                "event_id": out["event_id"],
+                "event_type": out["event_type"],
+            }
+        )
+
+    return bucketed_map_groups(ds, "user_id", latest)
+
+
+SQL_LATEST_EVENT = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_event_type_stats(sf_dir: str):
+    """Grouped stats with exact fixed-point sums (A5/A7)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"], "v_c": cents(t["value"])})
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False, as_index=False).agg(
+            v_c=("v_c", "sum"), n=("v_c", "size"), mn=("v_c", "min"), mx=("v_c", "max")
+        )
+        return g
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("v_c", alias_name="v_c"),
+            Sum("n", alias_name="n"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sum_v = pc.divide(pc.cast(t["v_c"], pa.float64()), 100.0)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "sum_value": sum_v,
+                "avg_value": pc.divide(sum_v, pc.cast(t["n"], pa.float64())),
+                "min_value": pc.divide(pc.cast(t["mn"], pa.float64()), 100.0),
+                "max_value": pc.divide(pc.cast(t["mx"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENT_TYPE_STATS = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 / COUNT(*) AS avg_value,
+  CAST(MIN(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS min_value,
+  CAST(MAX(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_daily_type_counts(sf_dir: str):
+    """Tumbling daily window per type (§2.9 streaming-as-batch; date ops
+    §2.8: strftime family)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": df["ts"].dt.strftime("%Y-%m-%d"),
+                "event_type": df["event_type"],
+                "v_c": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+
+    agg = partial_sum_groupby(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["day", "event_type"],
+        {"v_c": "v_c"},
+        "n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": t["day"],
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "sum_value": pc.divide(pc.cast(t["v_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DAILY_TYPE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_distinct_event_types(sf_dir: str):
+    """Distinct values (D1; sorted-set union tcp_port_scan.py:120-121)."""
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return ds.groupby("event_type").count().select_columns(["event_type"])
+
+
+SQL_DISTINCT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+# --- joins (§2.4) ---------------------------------------------------------
+
+
+def q_customer_revenue(sf_dir: str):
+    """Broadcast hash join + grouped sum (J2; fingerprint lookup join
+    ssh_login_report.sh:153-155): customer is the small side, shipped once
+    via ray.put and probed per batch — no shuffle of the orders table."""
+    import ray
+
+    cust = read_table_arrow(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    lookup = {
+        k: (n, m)
+        for k, n, m in zip(
+            cust["c_custkey"].to_pylist(),
+            cust["c_name"].to_pylist(),
+            cust["c_mktsegment"].to_pylist(),
+        )
+    }
+    ref = ray.put(lookup)
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": t["o_custkey"], "rev_c": cents(t["o_totalprice"])})
+
+    agg = partial_sum_groupby(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["c_custkey"],
+        {"rev_c": "rev_c"},
+        "n_orders",
+    )
+
+    class AttachCustomer:
+        def __init__(self, ref):
+            import ray as _ray
+
+            self.lookup = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["c_custkey"].to_pylist()
+            names, segs = [], []
+            for k in keys:
+                n, m = self.lookup[k]
+                names.append(n)
+                segs.append(m)
+            return pa.table(
+                {
+                    "c_custkey": t["c_custkey"],
+                    "c_name": pa.array(names),
+                    "c_mktsegment": pa.array(segs),
+                    "revenue": pc.divide(pc.cast(t["rev_c"], pa.float64()), 100.0),
+                    "n_orders": t["n_orders"],
+                }
+            )
+
+    return agg.map_batches(
+        AttachCustomer, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+SQL_CUSTOMER_REVENUE = """
+SELECT c_custkey, c_name, c_mktsegment,
+  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue,
+  COUNT(*) AS n_orders
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """Top-k by aggregate (T1; ORDER BY … DESC LIMIT k,
+    diagnostic_jenkinsjob_slow.py:82-93)."""
+    rev = q_customer_revenue(sf_dir).select_columns(["c_custkey", "revenue"])
+    return rev.sort(["revenue", "c_custkey"], descending=[True, False]).limit(5)
+
+
+SQL_TOP_CUSTOMERS = f"""
+SELECT c_custkey, revenue FROM ({SQL_CUSTOMER_REVENUE.strip()})
+ORDER BY revenue DESC, c_custkey ASC LIMIT 5
+"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join via broadcast key set (J1/J3/J4; whitelist anti-join
+    detect_suspicious_process.py:68-77, set-diff os_package_action_report.sh:118-150)."""
+    import ray
+
+    with_orders = set(
+        read_table(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    )
+    ref = ray.put(with_orders)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pa.array([k not in keys for k in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    import ray  # noqa: F811 — used in closure
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_customers_with_orders(sf_dir: str):
+    """Semi-join via broadcast membership (J7; watchlist semi-join
+    monitor_git_filechanges.sh:40-66)."""
+    import ray
+
+    with_orders = set(
+        read_table(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    )
+    ref = ray.put(with_orders)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pa.array([k in keys for k in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    return cust.map_batches(semi, batch_format="pyarrow")
+
+
+SQL_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """Large-large hash-shuffle join (lineitem ⋈ orders via Dataset.join)
+    + broadcast dimension attach + grouped exact sum (J5-scale; the full-
+    compare join family compare_machine_report.sh:94-101)."""
+    import ray
+
+    cust = read_table_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg_of = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    ref = ray.put(seg_of)
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_c": cents(disc, 10_000)})
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j = li.map_batches(prep_li, batch_format="pyarrow").join(
+        orders, "inner", 16, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        seg = ray.get(ref)
+        segs = [seg[k] for k in t["o_custkey"].to_pylist()]
+        return pa.table({"c_mktsegment": pa.array(segs), "rev_c": t["rev_c"]})
+
+    agg = partial_sum_groupby(
+        j.map_batches(attach, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        {"rev_c": "rev_c"},
+        None,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "revenue": pc.divide(pc.cast(t["rev_c"], pa.float64()), 10000.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_nation_region(sf_dir: str):
+    """Dimension-dimension broadcast join (J2 small scale)."""
+    import ray
+
+    region = read_table_arrow(sf_dir, "region")
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    ref = ray.put(rmap)
+    nation = read_table(sf_dir, "nation", columns=["n_name", "n_regionkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        rm = ray.get(ref)
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "r_name": pa.array([rm[k] for k in t["n_regionkey"].to_pylist()]),
+            }
+        )
+
+    return nation.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_NATION_REGION = """
+SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_orders_by_month(sf_dir: str):
+    """Date bucketing + grouped count (A8 date-window family;
+    caculate_date 7-day window effort_report.sh:55-60)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_orderdate"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "month": df["o_orderdate"].dt.strftime("%Y-%m"),
+            }
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["o_orderstatus", "month"],
+        {},
+        "n",
+    )
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Text / training-data operators over `documents` (SURVEY.md §2.7-2.8 +
+# the dedup/quality ops a web-scale training pipeline needs)
+# --------------------------------------------------------------------------
+
+
+def q_docs_exact_dedup(sf_dir: str):
+    """Exact-content dedup keeping min doc_id + duplicate count (D3/D4)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds, text_col="text", id_col="doc_id")
+    return out.select_columns(["doc_id", "dup_count"])
+
+
+SQL_DOCS_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text
+"""
+
+
+def q_docs_token_stats(sf_dir: str):
+    """Token counting with the pinned tokenizer (text-analysis op)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].map(T.tokens)
+        n = toks.map(len)
+        total = toks.map(lambda ts: sum(map(len, ts)))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n.astype("int64"),
+                "avg_token_len": total.astype("float64") / n.astype("float64"),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+SQL_DOCS_TOKEN_STATS = """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len
+FROM t
+"""
+
+
+def q_docs_fingerprint(sf_dir: str):
+    """Content fingerprint: md5 of the whitespace-canonicalized lowercase
+    text (hash family §2.8; cksum manifests sync_http_repo_server.sh:57)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df["text"].map(lambda s: content_digest(T.normalize_ws(s).lower()))
+        return pd.DataFrame({"doc_id": df["doc_id"], "fp": vals})
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+SQL_DOCS_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents
+"""
+
+
+def q_docs_quality(sf_dir: str):
+    """Quality-scoring features (stopword/unique ratios) — SQL-checkable
+    subset of functions.text.quality_features."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    stop = T.STOPWORDS
+
+    def qual(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].map(T.tokens)
+        n = toks.map(len).astype("int64")
+        n_stop = toks.map(lambda ts: sum(t in stop for t in ts)).astype("int64")
+        n_uniq = toks.map(lambda ts: len(set(ts))).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n,
+                "stopword_ratio": n_stop.astype("float64") / n.astype("float64"),
+                "unique_ratio": n_uniq.astype("float64") / n.astype("float64"),
+            }
+        )
+
+    return ds.map_batches(qual, batch_format="pandas")
+
+
+_STOP_SQL = ",".join(f"'{w}'" for w in sorted(T.STOPWORDS))
+SQL_DOCS_QUALITY = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+  CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks) AS stopword_ratio,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS unique_ratio
+FROM t
+"""
+
+
+def q_docs_lang_counts(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["lang"])
+    return partial_sum_groupby(ds, ["lang"], {}, "n")
+
+
+SQL_DOCS_LANG_COUNTS = "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+
+
+def q_similar_doc_pairs(sf_dir: str):
+    """N-gram/token Jaccard near-dup pairs within (lang, source) blocks —
+    the SQL-checkable cousin of MinHash dedup (D5). Jaccard over DISTINCT
+    token sets; threshold 0.5; pairs ordered doc_id_a < doc_id_b."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "text"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["lang"], t["source"], "|")
+        return t.append_column("blk", key)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        for _, g in df.groupby("blk", sort=False):
+            ids = g["doc_id"].to_numpy()
+            sets = [frozenset(T.tokens(t)) for t in g["text"]]
+            order = np.argsort(ids)
+            for ii in range(len(order)):
+                i = order[ii]
+                for jj in range(ii + 1, len(order)):
+                    j = order[jj]
+                    if T.jaccard(sets[i], sets[j]) >= 0.5:
+                        rows_a.append(int(ids[i]))
+                        rows_b.append(int(ids[j]))
+        return pd.DataFrame(
+            {
+                "doc_id_a": pd.Series(rows_a, dtype="int64"),
+                "doc_id_b": pd.Series(rows_b, dtype="int64"),
+            }
+        )
+
+    ds = ds.map_batches(add_key, batch_format="pyarrow")
+    return bucketed_map_groups(ds, "blk", pairs).select_columns(["doc_id_a", "doc_id_b"])
+
+
+SQL_SIMILAR_DOC_PAIRS = """
+WITH t AS (SELECT doc_id, lang, source,
+                  list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+           FROM documents)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity search (ANN baseline) over `embeddings`
+# --------------------------------------------------------------------------
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-k: per-batch float64 matmul against a
+    broadcast query matrix + distributed partial top-k merge (the ANN
+    baseline; ST5 scorer pattern). Output (query_vec_id, neighbor_vec_id,
+    rank) — ranks are float-stable because sims are computed in f64 on
+    both sides and ties break by neighbor id."""
+    from ..stages.ann import knn_cosine
+
+    return knn_cosine(sf_dir, n_queries=5, k=10)
+
+
+SQL_KNN = """
+WITH q AS (SELECT vec_id AS query_vec_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5),
+sims AS (SELECT query_vec_id, e.vec_id AS neighbor_vec_id,
+                list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS sim
+         FROM q CROSS JOIN embeddings e WHERE e.vec_id != query_vec_id),
+ranked AS (SELECT query_vec_id, neighbor_vec_id,
+                  row_number() OVER (PARTITION BY query_vec_id
+                                     ORDER BY sim DESC, neighbor_vec_id) AS rank
+           FROM sims)
+SELECT query_vec_id, neighbor_vec_id, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_embedding_dims(sf_dir: str):
+    """List-length projection (array family §2.8)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def dims(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "dim": pc.cast(pc.list_value_length(t["embedding"]), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(dims, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_DIMS = "SELECT vec_id, len(embedding) AS dim FROM embeddings"
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible pipelines (rows-only checks; pytest covers semantics)
+# --------------------------------------------------------------------------
+
+
+def q_docs_langid(sf_dir: str):
+    """Heuristic language id (text-analysis op; no SQL oracle)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lid(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang_pred": df["text"].map(T.langid)}
+        )
+
+    return ds.map_batches(lid, batch_format="pandas")
+
+
+def q_docs_simhash(sf_dir: str):
+    """SimHash fingerprints (near-dup sketch; no SQL oracle)."""
+    from ..functions.hashing import simhash64, stable_u64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sh(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df["text"].map(
+            lambda s: format(
+                simhash64(
+                    np.array([stable_u64(t) for t in T.tokens(s)], dtype=np.uint64)
+                ),
+                "016x",
+            )
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "simhash": vals})
+
+    return ds.map_batches(sh, batch_format="pandas")
+
+
+def q_docs_minhash_clusters(sf_dir: str):
+    """MinHash-LSH near-dup clustering of documents → (doc_id, rep_id)
+    (D5 core; rows-only — transitive closure is not SQL-expressible)."""
+    from ..stages.minhash_dedup import near_dup_clusters
+
+    return near_dup_clusters(sf_dir)
+
+
+def q_er_clusters(sf_dir: str):
+    """Flagship ER pipeline over pages derived deterministically from
+    documents.parquet (BASELINE.json north_star; rows-only)."""
+    return _er_outputs(sf_dir)["clusters"]
+
+
+def q_er_golden(sf_dir: str):
+    return _er_outputs(sf_dir)["golden"]
+
+
+_ER_CACHE: dict[str, dict] = {}
+
+
+def _er_outputs(sf_dir: str) -> dict:
+    if sf_dir not in _ER_CACHE:
+        import ray.data as rd
+
+        from ..corpus import pages_from_documents
+        from .er import ERConfig, run_er
+
+        pages = rd.from_arrow(pages_from_documents(sf_dir))
+        _ER_CACHE[sf_dir] = run_er(pages, ERConfig())
+    return _ER_CACHE[sf_dir]
+
+
+def q_pages_media_features(sf_dir: str):
+    """Multimodal plumbing: opaque binary payloads through an actor-pool
+    decode stage (stub decoder — see stages/media.py; rows-only)."""
+    import ray.data as rd
+
+    from ..corpus import pages_from_documents
+    from ..stages.media import media_features_stage
+
+    pages = rd.from_arrow(pages_from_documents(sf_dir).select(["url", "html"]))
+    return media_features_stage(pages.rename_columns(["url", "payload"]))
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "filter_project_lineitem": q_filter_project_lineitem,
+    "top_event_gaps": q_top_event_gaps,
+    "user_sessions": q_user_sessions,
+    "events_json_k": q_events_json_k,
+    "latest_event_per_user": q_latest_event_per_user,
+    "event_type_stats": q_event_type_stats,
+    "daily_type_counts": q_daily_type_counts,
+    "distinct_event_types": q_distinct_event_types,
+    "customer_revenue": q_customer_revenue,
+    "top_customers": q_top_customers,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_orders": q_customers_with_orders,
+    "segment_revenue": q_segment_revenue,
+    "nation_region": q_nation_region,
+    "orders_by_month": q_orders_by_month,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_token_stats": q_docs_token_stats,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_quality": q_docs_quality,
+    "docs_lang_counts": q_docs_lang_counts,
+    "similar_doc_pairs": q_similar_doc_pairs,
+    "knn_cosine": q_knn_cosine,
+    "embedding_dims": q_embedding_dims,
+    # rows-only (no SQL oracle)
+    "docs_langid": q_docs_langid,
+    "docs_simhash": q_docs_simhash,
+    "docs_minhash_clusters": q_docs_minhash_clusters,
+    "er_clusters": q_er_clusters,
+    "er_golden": q_er_golden,
+    "pages_media_features": q_pages_media_features,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "filter_project_lineitem": SQL_FILTER_PROJECT,
+    "top_event_gaps": SQL_TOP_GAPS,
+    "user_sessions": SQL_SESSIONS,
+    "events_json_k": SQL_JSON_K,
+    "latest_event_per_user": SQL_LATEST_EVENT,
+    "event_type_stats": SQL_EVENT_TYPE_STATS,
+    "daily_type_counts": SQL_DAILY_TYPE,
+    "distinct_event_types": SQL_DISTINCT_TYPES,
+    "customer_revenue": SQL_CUSTOMER_REVENUE,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "customers_with_orders": SQL_CUSTOMERS_WITH_ORDERS,
+    "segment_revenue": SQL_SEGMENT_REVENUE,
+    "nation_region": SQL_NATION_REGION,
+    "orders_by_month": SQL_ORDERS_BY_MONTH,
+    "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+    "docs_token_stats": SQL_DOCS_TOKEN_STATS,
+    "docs_fingerprint": SQL_DOCS_FINGERPRINT,
+    "docs_quality": SQL_DOCS_QUALITY,
+    "docs_lang_counts": SQL_DOCS_LANG_COUNTS,
+    "similar_doc_pairs": SQL_SIMILAR_DOC_PAIRS,
+    "knn_cosine": SQL_KNN,
+    "embedding_dims": SQL_EMBEDDING_DIMS,
+}

@@ -1,0 +1,113 @@
+"""Multi-pass blocking: canonical-host keys + MinHash/LSH band keys
+(SURVEY.md §7.1 M3; the Ray-native replacement for the reference's
+Elasticsearch match indexes ``master-index-<md5>``,
+``/root/reference/python/db_backup/es_backup.py:61``).
+
+Layout decision (scale): the blocks table carries ONLY ``(block_key, url)``
+— tiny rows through the wide shuffle. Per-document match features (title,
+bottom-k shingle sketch, minhash signature) live in a separate ``features``
+table keyed by url and are joined onto candidate *pairs* later, so the
+×(n_bands+1) key explosion never replicates kilobyte sketches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import hashing as H
+from ..functions import text as T
+from ..functions.urls import canonical_host
+
+# LSH geometry: 128 permutations in 64 bands × 2 rows. P(candidate) at
+# Jaccard j is 1-(1-j^2)^64: ≈1.0 at j=0.45, ≈0.15 at j=0.05 — high recall
+# for near-duplicates, manageable extra candidates at low similarity
+# (rejected later by exact scoring). See SURVEY.md §7.4 pair-explosion note.
+NUM_PERM = 128
+N_BANDS = 64
+SHINGLE_K = 3
+SKETCH_K = 160  # bottom-k shingle sketch size; exact Jaccard for docs < k shingles
+TITLE_TOKENS = 8
+
+
+class ComputeFeatures:
+    """Actor-pool stage: (url, text, ...) → (url, title, n_tokens,
+    sketch: binary, sig: binary).
+
+    ``sketch`` is the bottom-k shingle uint64 array and ``sig`` the uint32
+    MinHash signature, both stored as raw little-endian bytes: Ray's
+    hash-shuffle join does not accept list-typed payload columns, and the
+    fixed-width byte encoding is smaller and zero-parse
+    (``np.frombuffer``) on the consumer side anyway.
+
+    MinHash permutations are built once per actor in ``__init__`` (ST1/ST3
+    pattern, SURVEY.md §2.3); signatures are computed with the vectorized
+    reduceat batch kernel.
+    """
+
+    def __init__(self, num_perm: int = NUM_PERM, seed: int = 42) -> None:
+        self.a, self.b = H.minhash_permutations(num_perm, seed=seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks = [T.tokens(t) for t in texts]
+        shingles = [H.shingle_hashes(tk, SHINGLE_K) for tk in toks]
+        sigs = H.minhash_signatures_batch(shingles, self.a, self.b)
+        sketches = [np.sort(s)[:SKETCH_K] for s in shingles]
+        titles = [" ".join(tk[:TITLE_TOKENS]) for tk in toks]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "title": pa.array(titles, pa.string()),
+                "n_tokens": pa.array([len(tk) for tk in toks], pa.int64()),
+                "sketch": pa.array([s.tobytes() for s in sketches], pa.binary()),
+                "sig": pa.array([np.ascontiguousarray(s).tobytes() for s in sigs], pa.binary()),
+            }
+        )
+
+
+def features_stage(ds, *, concurrency=(2, 8), batch_size: int = 512, seed: int = 42):
+    return ds.map_batches(
+        ComputeFeatures,
+        fn_constructor_kwargs={"seed": seed},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def block_keys_stage(features_ds, *, n_bands: int = N_BANDS, use_host_pass: bool = True):
+    """features → exploded (block_key, url).
+
+    Pass 1: ``h:<canonical_host>`` — cheap high-recall same-site key.
+    Pass 2: ``b:<band>:<digest>`` LSH band keys from the minhash signature.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        sigs = batch["sig"].to_pylist()
+        out_keys: list[str] = []
+        out_urls: list[str] = []
+        for url, sig_bytes in zip(urls, sigs):
+            if use_host_pass:
+                host = canonical_host(url)
+                if host:
+                    out_keys.append(f"h:{host}")
+                    out_urls.append(url)
+            sig = np.frombuffer(sig_bytes, dtype=np.uint32)
+            out_keys.extend(H.lsh_band_keys(sig, n_bands))
+            out_urls.extend([url] * n_bands)
+        return pa.table(
+            {"block_key": pa.array(out_keys, pa.string()), "url": pa.array(out_urls)}
+        )
+
+    return features_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def block_size_stats(blocks_ds):
+    """Skew pre-pass (SURVEY.md §4.2): per-block member counts, descending.
+    Feeds the metrics sidecar and the oversized-block cap diagnostics."""
+    from ray.data.aggregate import Count
+
+    return blocks_ds.groupby("block_key").aggregate(Count(alias_name="n_members"))

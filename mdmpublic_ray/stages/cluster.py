@@ -1,0 +1,144 @@
+"""Distributed transitive clustering: iterative hash-partitioned min-label
+propagation (SURVEY.md §7.1 M5; the union-find / star-contraction round
+structure of BASELINE.json north_star).
+
+Ray Data is a DAG engine with no native iteration, so the driver runs a
+loop of shuffle rounds (SURVEY.md §4.2 "iterative computation"):
+
+  labels⁰(u)   = u
+  labelsʳ⁺¹(u) = min(labelsʳ(u), min over neighbors v of labelsʳ(v),
+                 labelsʳ(labelsʳ(u)))            ← pointer jumping
+
+**Active-set optimization**: only nodes incident to at least one match
+edge participate in the rounds — in a near-dup corpus that is a small
+fraction of all pages, so every per-round shuffle moves O(edges) rows,
+not O(pages). Singletons get ``cluster_id = url`` through one final
+left-outer join. Convergence is detected by a global checksum of the
+label column (sum of crc32) — one tiny aggregate instead of an
+old-vs-new join; rounds are bounded by ``max_rounds`` (pointer jumping
+gives O(log n) on chains; near-dup components are near-stars → 2-3
+rounds in practice).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Min, Sum
+
+from ..functions.hashing import crc32_array
+from .util import default_partitions
+
+
+def connected_components(
+    edges_ds,
+    nodes_ds,
+    *,
+    num_partitions: int | None = None,
+    max_rounds: int = 15,
+    checkpoint_fn=None,
+):
+    """edges(url_a, url_b) + nodes(url) → clusters(url, cluster_id).
+
+    cluster_id = lexicographic-min url of the component (deterministic,
+    SURVEY.md §7.0). ``checkpoint_fn(round_idx, labels_ds)`` is called per
+    round when given (per-round checkpointing, SURVEY.md §7.1 M5).
+    """
+    P = num_partitions or default_partitions()
+
+    # symmetric edge list: (src, dst) both directions — materialized once,
+    # consumed every round.
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["url_a"].combine_chunks()
+        b = batch["url_b"].combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    edges_sym = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    if edges_sym.count() == 0:
+        # no matches at all → every node is its own cluster (also guards
+        # the schema-less-empty-dataset join pitfall)
+        return nodes_ds.map_batches(
+            lambda t: pa.table({"url": t["url"], "cluster_id": t["url"]}),
+            batch_format="pyarrow",
+        )
+
+    # active set = distinct edge endpoints; labels init to self
+    labels = (
+        edges_sym.groupby("src")
+        .aggregate(Min("dst", alias_name="nbr_min"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "url": t["src"],
+                    # round 0 folded in: label = min(self, min neighbor)
+                    "label": pc.min_element_wise(t["src"], t["nbr_min"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def checksum(lbl_ds) -> int:
+        def h(batch: pa.Table) -> pa.Table:
+            s = int(crc32_array(batch["label"].to_pylist()).astype("int64").sum())
+            return pa.table({"h": pa.array([s], pa.int64())})
+
+        out = lbl_ds.map_batches(h, batch_format="pyarrow").aggregate(Sum("h"))
+        return int(out["sum(h)"])
+
+    prev_sum = checksum(labels)
+    for rnd in range(max_rounds):
+        # 1) neighbor labels: edge (src,dst) picks up label(dst)
+        nbr_min = (
+            edges_sym.join(labels, "inner", P, on=("dst",), right_on=("url",))
+            .groupby("src")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(
+                lambda t: pa.table({"url": t["src"], "label": t["label"]}),
+                batch_format="pyarrow",
+            )
+        )
+        # 2) pointer jumping: label'(u) = label(label(u)); label(u) is a
+        #    node in the active set, so the self-join loses no rows.
+        lbl_as_nodes = labels.map_batches(
+            lambda t: pa.table({"url2": t["url"], "label2": t["label"]}),
+            batch_format="pyarrow",
+        )
+        jump = labels.join(
+            lbl_as_nodes, "inner", P, on=("label",), right_on=("url2",)
+        ).map_batches(
+            lambda t: pa.table({"url": t["url"], "label": t["label2"]}),
+            batch_format="pyarrow",
+        )
+        # 3) min per url across {current, neighbor-min, jumped}
+        labels_next = (
+            labels.union(nbr_min)
+            .union(jump)
+            .groupby("url")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        new_sum = checksum(labels_next)
+        labels = labels_next
+        if checkpoint_fn is not None:
+            checkpoint_fn(rnd, labels)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    # singletons (nodes with no edges) keep themselves as cluster_id
+    clusters = nodes_ds.join(
+        labels, "left_outer", P, on=("url",), right_on=("url",)
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["url"],
+                "cluster_id": pc.coalesce(t["label"], t["url"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return clusters

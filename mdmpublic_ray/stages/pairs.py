@@ -1,0 +1,92 @@
+"""Candidate-pair generation within blocks, with per-block caps and pair
+dedup (SURVEY.md §2.4 J8, §7.3 "pair dedup" shuffle).
+
+Skew strategy (north_rule "explicit skew-aware salting"): blocking keys are
+recall keys, so randomly salting a block would silently LOSE cross-salt
+pairs. Instead oversized blocks (giant hosts — the Common-Crawl reality)
+are **capped**: blocks over ``max_block_size`` emit no pairs from the host
+pass and are counted, because the LSH pass still pairs every near-duplicate
+inside them; LSH buckets are naturally small (band collisions). Dropped
+blocks are reported via ``block_size_stats`` — no silent truncation.
+
+The bucketed-groupby pattern (see dedup.py) keeps Python overhead at
+O(num_buckets), not O(num_blocks): within one bucket a pandas groupby walks
+only multi-member blocks and emits pairs via numpy triangle indices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import crc32_array
+
+DEFAULT_MAX_BLOCK = 2000
+DEFAULT_BUCKETS = 64
+
+
+def candidate_pairs(
+    blocks_ds,
+    *,
+    max_block_size: int = DEFAULT_MAX_BLOCK,
+    n_buckets: int = DEFAULT_BUCKETS,
+):
+    """blocks(block_key, url) → pairs(url_a, url_b) deduped.
+
+    url_a < url_b lexically (stable pair identity). A pair discovered by
+    several keys (host + multiple LSH bands) is emitted once.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = crc32_array(batch["block_key"].to_pylist()) % np.uint32(n_buckets)
+        return batch.append_column("_bucket", pa.array(b.astype(np.int32)))
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for _, g in df.groupby("block_key", sort=False):
+            n = len(g)
+            if n < 2 or n > max_block_size:
+                continue
+            urls = np.sort(g["url"].to_numpy())
+            ii, jj = np.triu_indices(n, k=1)
+            out_a.append(urls[ii])
+            out_b.append(urls[jj])
+        if not out_a:
+            return pd.DataFrame({"url_a": pd.Series([], dtype=str),
+                                 "url_b": pd.Series([], dtype=str)})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        res = pd.DataFrame({"url_a": a, "url_b": b})
+        # within-bucket dedup (same pair via several keys in this bucket)
+        return res.drop_duplicates()
+
+    pairs = (
+        blocks_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(gen, batch_format="pandas")
+    )
+    return dedup_pairs(pairs, n_buckets=n_buckets)
+
+
+def dedup_pairs(pairs_ds, *, n_buckets: int = DEFAULT_BUCKETS):
+    """Global pair dedup: bucket on url_a then one groupby; per-batch
+    partial dedup first (combiner)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["url_a", "url_b"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = crc32_array(batch["url_a"].to_pylist()) % np.uint32(n_buckets)
+        return batch.append_column("_bucket", pa.array(b.astype(np.int32)))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["url_a", "url_b"]).drop(columns=["_bucket"])
+
+    return (
+        pairs_ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+    )

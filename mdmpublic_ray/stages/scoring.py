@@ -1,0 +1,104 @@
+"""Pairwise scoring: exact-ish Jaccard from bottom-k sketches + Jaro-Winkler
+on url/title (SURVEY.md §7.1 M4; BASELINE.json north_star scorers).
+
+Features are joined onto pairs with Ray's hash-shuffle ``Dataset.join``
+(both sides large ⇒ no broadcast). The scorer itself is a stateless
+``map_batches`` with numpy set-intersection per pair — pairs are the
+bounded output of capped blocking, so per-pair Python cost is acceptable;
+the heavy per-*document* work happened once in the features stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.text import jaro_winkler
+
+# score = weighted blend; is_match is thresholded on the blend.
+W_JACCARD, W_TITLE, W_URL = 0.7, 0.2, 0.1
+DEFAULT_THRESHOLD = 0.35
+
+
+def sketch_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
+    """Jaccard estimate from two bottom-k shingle sketches.
+
+    Standard bottom-k estimator: restrict to the k smallest of the union;
+    |both present| / k. When both sketches are complete shingle sets
+    (docs with < k shingles) this IS the exact Jaccard.
+    """
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    if a.size == 0 or b.size == 0:
+        return 0.0
+    union = np.union1d(a, b)  # sorted
+    kk = min(k, union.size)
+    cut = union[:kk]
+    inter = np.intersect1d(cut, a, assume_unique=True)
+    both = np.isin(inter, b, assume_unique=True).sum()
+    return float(both) / float(kk)
+
+
+def score_pairs(
+    pairs_ds,
+    features_ds,
+    *,
+    num_partitions: int | None = None,
+    threshold: float = DEFAULT_THRESHOLD,
+    sketch_k: int = 160,
+):
+    """pairs(url_a, url_b) ⋈ features ×2 → scored pairs
+    (url_a, url_b, jaccard, jw_title, jw_url, score, is_match)."""
+    from .util import default_partitions
+
+    num_partitions = num_partitions or default_partitions()
+    fa = features_ds.map_batches(
+        lambda t: pa.table(
+            {"url": t["url"], "title_a": t["title"], "sketch_a": t["sketch"]}
+        ),
+        batch_format="pyarrow",
+    )
+    fb = features_ds.map_batches(
+        lambda t: pa.table(
+            {"url": t["url"], "title_b": t["title"], "sketch_b": t["sketch"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = pairs_ds.join(
+        fa, "inner", num_partitions, on=("url_a",), right_on=("url",)
+    ).join(fb, "inner", num_partitions, on=("url_b",), right_on=("url",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ua = batch["url_a"].to_pylist()
+        ub = batch["url_b"].to_pylist()
+        ta = batch["title_a"].to_pylist()
+        tb = batch["title_b"].to_pylist()
+        sa = batch["sketch_a"].to_pylist()
+        sb = batch["sketch_b"].to_pylist()
+        n = len(ua)
+        jac = np.empty(n, dtype=np.float64)
+        jwt = np.empty(n, dtype=np.float64)
+        jwu = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            jac[i] = sketch_jaccard(
+                np.frombuffer(sa[i], dtype=np.uint64),
+                np.frombuffer(sb[i], dtype=np.uint64),
+                sketch_k,
+            )
+            jwt[i] = jaro_winkler(ta[i], tb[i])
+            jwu[i] = jaro_winkler(ua[i], ub[i])
+        sc = W_JACCARD * jac + W_TITLE * jwt + W_URL * jwu
+        return pa.table(
+            {
+                "url_a": pa.array(ua),
+                "url_b": pa.array(ub),
+                "jaccard": pa.array(jac),
+                "jw_title": pa.array(jwt),
+                "jw_url": pa.array(jwu),
+                "score": pa.array(sc),
+                "is_match": pa.array(sc >= threshold),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")

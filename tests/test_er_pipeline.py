@@ -1,0 +1,80 @@
+"""End-to-end entity-resolution pipeline tests on the synthetic corpus."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from mdmpublic_ray.pipelines.er import ERConfig, pairwise_metrics, run_er
+
+
+@pytest.fixture(scope="module")
+def er_result(ray_session, corpus_dir):
+    import ray.data as rd
+
+    pages = rd.read_parquet(f"{corpus_dir}/pages.parquet")
+    cfg = ERConfig(num_partitions=8, n_buckets=16)
+    out = run_er(pages, cfg)
+    return out, corpus_dir
+
+
+def test_dedup_latest_one_row_per_url(er_result):
+    out, corpus_dir = er_result
+    truth = pq.read_table(f"{corpus_dir}/truth.parquet")
+    deduped = out["deduped"].to_pandas()
+    assert len(deduped) == truth.num_rows
+    assert deduped["url"].is_unique
+
+
+def test_extraction_byte_identical_through_ray(er_result):
+    """The distributed extraction must equal the ground-truth text (which
+    the oracle reproduces) for EVERY url — the BASELINE.json invariant."""
+    out, corpus_dir = er_result
+    pages = pq.read_table(f"{corpus_dir}/pages.parquet")
+    # ground truth text for the LATEST crawl of each url (texts of a url's
+    # crawls are identical in the corpus)
+    want = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+    got = out["deduped"].to_pandas()
+    assert len(got) > 0
+    for url, text in zip(got["url"], got["text"]):
+        assert text == want[url], f"extraction mismatch for {url}"
+
+
+def test_blocking_recall_and_pairs(er_result):
+    out, _ = er_result
+    pairs = out["pairs"].to_pandas()
+    assert len(pairs) > 0
+    assert (pairs["url_a"] < pairs["url_b"]).all()
+    assert not pairs.duplicated(["url_a", "url_b"]).any()
+
+
+def test_f1_at_least_099(er_result):
+    import ray.data as rd
+
+    out, corpus_dir = er_result
+    labels = rd.read_parquet(f"{corpus_dir}/labels.parquet")
+    m = pairwise_metrics(out["clusters"], labels, num_partitions=8)
+    assert m["tp"] + m["fn"] > 0
+    assert m["f1"] >= 0.99, m
+
+
+def test_clusters_match_planted_truth(er_result):
+    """Predicted clustering must equal the planted partition (not just F1
+    on sampled labels): same set of url-groups."""
+    out, corpus_dir = er_result
+    truth = pq.read_table(f"{corpus_dir}/truth.parquet").to_pandas()
+    pred = out["clusters"].to_pandas()
+    t = truth.groupby("cluster_id")["url"].apply(frozenset)
+    p = pred.groupby("cluster_id")["url"].apply(frozenset)
+    assert set(t) == set(p)
+
+
+def test_golden_records(er_result):
+    out, corpus_dir = er_result
+    golden = out["golden"].to_pandas()
+    truth = pq.read_table(f"{corpus_dir}/truth.parquet").to_pandas()
+    assert len(golden) == truth["cluster_id"].nunique()
+    assert golden["cluster_id"].is_unique
+    assert (golden["n_members"] >= 1).all()
+    # canonical url is a member of its own cluster
+    pred = out["clusters"].to_pandas().set_index("url")["cluster_id"]
+    for cid, cu in zip(golden["cluster_id"], golden["canonical_url"]):
+        assert pred[cu] == cid
