@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md §3 protocol).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "er_pages": n, "er_pairs_scored": n, "pairs_per_sec": r, "rows_per_sec": r}
+
+--scaling: run the same bench twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and report both + scaling efficiency
+eff = (T8 / T32) / (32 / 8)  (≥ 0.8 target, BASELINE.json N→4N rule —
+multi-node clusters are unavailable in this sandbox, so two parallelism
+levels on one machine stand in; see BASELINE.md §3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data as rd
+
+    from mdmpublic_ray.corpus import pages_from_documents
+    from mdmpublic_ray.pipelines import queries as Q
+    from mdmpublic_ray.pipelines.er import ERConfig, run_er
+
+    # Warm the OS page cache so we measure compute+shuffle, not cold disk.
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        rd.read_parquet(f"{sf_dir}/{t}.parquet").count()
+
+    timings: dict[str, float] = {}
+    extras: dict = {"sf": sf_dir, "num_cpus": ncpu}
+
+    # --- flagship: full ER pipeline over derived pages ------------------
+    pages_tbl = pages_from_documents(sf_dir)
+    extras["er_pages"] = pages_tbl.num_rows
+    pages = rd.from_arrow(pages_tbl)
+    t0 = time.monotonic()
+    out = run_er(pages, ERConfig())
+    n_scored = out["scored"].count()
+    n_golden = out["golden"].count()
+    er_sec = time.monotonic() - t0
+    timings["er_pipeline"] = round(er_sec, 3)
+    extras["er_pairs_scored"] = n_scored
+    extras["er_golden"] = n_golden
+    extras["pairs_per_sec"] = round(n_scored / er_sec, 1) if er_sec else None
+    extras["rows_per_sec"] = round(pages_tbl.num_rows / er_sec, 1) if er_sec else None
+
+    # --- representative operator benches --------------------------------
+    bench_queries = [
+        "pricing_summary",
+        "segment_revenue",
+        "user_sessions",
+        "top_event_gaps",
+        "docs_exact_dedup",
+        "docs_quality",
+        "docs_minhash_clusters",
+        "knn_cosine",
+    ]
+    for name in bench_queries:
+        t0 = time.monotonic()
+        res = Q.QUERIES[name](sf_dir)
+        # consume fully (count() forces execution; results are small)
+        n = res.count() if hasattr(res, "count") else len(res)
+        timings[name] = round(time.monotonic() - t0, 3)
+        extras.setdefault("rows", {})[name] = int(n)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "er_pipeline+operator_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        **extras,
+    }
+
+
+def _scaling() -> None:
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        r = subprocess.run(
+            [sys.executable, here], env=env, capture_output=True, text=True, check=True
+        )
+        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+    t8, t32 = out[8]["value"], out[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32_cpus",
+                "sec_8": t8,
+                "sec_32": t32,
+                "throughput_8_rows_per_sec": out[8].get("rows_per_sec"),
+                "throughput_32_rows_per_sec": out[32].get("rows_per_sec"),
+                "scaling_efficiency": round(eff, 3),
+                "target": 0.8,
+                "queries_8": out[8]["queries"],
+                "queries_32": out[32]["queries"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _scaling()
+    else:
+        result = _run_bench()
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

@@ -205,8 +205,16 @@ def pairwise_metrics(clusters_ds, labels_ds, *, num_partitions: int | None = Non
         lambda t: pa.table({"url": t["url"], "cid_b": t["cluster_id"]}),
         batch_format="pyarrow",
     )
-    j = labels_ds.join(ca, "inner", num_partitions, on=("url_a",), right_on=("url",))
-    j = j.join(cb, "inner", num_partitions, on=("url_b",), right_on=("url",))
+    from ..stages.util import bucketed_join
+
+    ca = ca.map_batches(
+        lambda t: t.rename_columns(["url_ca", "cid_a"]), batch_format="pyarrow"
+    )
+    cb = cb.map_batches(
+        lambda t: t.rename_columns(["url_cb", "cid_b"]), batch_format="pyarrow"
+    )
+    j = bucketed_join(labels_ds, ca, "url_a", "url_ca", n_buckets=num_partitions)
+    j = bucketed_join(j, cb, "url_b", "url_cb", n_buckets=num_partitions)
 
     def counters(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -121,7 +121,10 @@ def q_top_event_gaps(sf_dir: str):
 
     def lag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        ts_us = df["ts"].astype("int64") // 1000  # ns → µs
+        ts_us = pd.Series(
+            df["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+            index=df.index,
+        )  # unit-safe epoch µs (pandas may carry ns OR us resolution)
         gap = ts_us.groupby(df["user_id"]).diff()
         out = pd.DataFrame(
             {"event_id": df["event_id"], "user_id": df["user_id"], "gap_us": gap}
@@ -148,7 +151,7 @@ def q_user_sessions(sf_dir: str):
 
     def sessionize(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
-        df["ts_us"] = df["ts"].astype("int64") // 1000
+        df["ts_us"] = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         gap = df.groupby("user_id")["ts_us"].diff()
         df["session_no"] = (
             (gap.isna() | (gap > SESSION_GAP_US)).astype("int64").groupby(df["user_id"]).cumsum()
@@ -411,55 +414,67 @@ ORDER BY revenue DESC, c_custkey ASC LIMIT 5
 """
 
 
-def q_customers_without_orders(sf_dir: str):
+_EARLY_SHIP_CUT = "1995-03-01"
+
+
+def _early_shipped_partkeys(sf_dir: str) -> set:
+    """Distinct l_partkey shipped before the cutoff — computed
+    distributed (filter pushed to the read + shuffle-distinct), collected
+    small, then broadcast."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey"],
+        filter=(pc.field("l_shipdate") < pa.scalar(pd.Timestamp(_EARLY_SHIP_CUT))),
+    )
+    return set(ds.unique("l_partkey"))
+
+
+def q_parts_never_early_shipped(sf_dir: str):
     """Anti-join via broadcast key set (J1/J3/J4; whitelist anti-join
-    detect_suspicious_process.py:68-77, set-diff os_package_action_report.sh:118-150)."""
+    detect_suspicious_process.py:68-77, set-diff
+    os_package_action_report.sh:118-150): parts with NO lineitem shipped
+    before the cutoff."""
     import ray
 
-    with_orders = set(
-        read_table(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
-    )
-    ref = ray.put(with_orders)
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ref = ray.put(_early_shipped_partkeys(sf_dir))
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
 
     def anti(t: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        mask = pa.array([k not in keys for k in t["c_custkey"].to_pylist()])
+        mask = pa.array([k not in keys for k in t["p_partkey"].to_pylist()])
         return t.filter(mask)
 
-    import ray  # noqa: F811 — used in closure
-
-    return cust.map_batches(anti, batch_format="pyarrow")
+    return part.map_batches(anti, batch_format="pyarrow")
 
 
-SQL_CUSTOMERS_WITHOUT_ORDERS = """
-SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+SQL_PARTS_NEVER_EARLY = f"""
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                        WHERE l_shipdate < TIMESTAMP '{_EARLY_SHIP_CUT}')
 """
 
 
-def q_customers_with_orders(sf_dir: str):
+def q_parts_early_shipped(sf_dir: str):
     """Semi-join via broadcast membership (J7; watchlist semi-join
     monitor_git_filechanges.sh:40-66)."""
     import ray
 
-    with_orders = set(
-        read_table(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
-    )
-    ref = ray.put(with_orders)
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ref = ray.put(_early_shipped_partkeys(sf_dir))
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
 
     def semi(t: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        mask = pa.array([k in keys for k in t["c_custkey"].to_pylist()])
+        mask = pa.array([k in keys for k in t["p_partkey"].to_pylist()])
         return t.filter(mask)
 
-    return cust.map_batches(semi, batch_format="pyarrow")
+    return part.map_batches(semi, batch_format="pyarrow")
 
 
-SQL_CUSTOMERS_WITH_ORDERS = """
-SELECT c_custkey, c_mktsegment FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders)
+SQL_PARTS_EARLY = f"""
+SELECT p_partkey, p_brand FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                    WHERE l_shipdate < TIMESTAMP '{_EARLY_SHIP_CUT}')
 """
 
 
@@ -847,8 +862,8 @@ def q_pages_media_features(sf_dir: str):
     from ..corpus import pages_from_documents
     from ..stages.media import media_features_stage
 
-    pages = rd.from_arrow(pages_from_documents(sf_dir).select(["url", "html"]))
-    return media_features_stage(pages.rename_columns(["url", "payload"]))
+    tbl = pages_from_documents(sf_dir).select(["url", "html"]).rename_columns(["url", "payload"])
+    return media_features_stage(rd.from_arrow(tbl))
 
 
 # --------------------------------------------------------------------------
@@ -867,8 +882,8 @@ QUERIES = {
     "distinct_event_types": q_distinct_event_types,
     "customer_revenue": q_customer_revenue,
     "top_customers": q_top_customers,
-    "customers_without_orders": q_customers_without_orders,
-    "customers_with_orders": q_customers_with_orders,
+    "parts_never_early_shipped": q_parts_never_early_shipped,
+    "parts_early_shipped": q_parts_early_shipped,
     "segment_revenue": q_segment_revenue,
     "nation_region": q_nation_region,
     "orders_by_month": q_orders_by_month,
@@ -901,8 +916,8 @@ ORACLE_SQL = {
     "distinct_event_types": SQL_DISTINCT_TYPES,
     "customer_revenue": SQL_CUSTOMER_REVENUE,
     "top_customers": SQL_TOP_CUSTOMERS,
-    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
-    "customers_with_orders": SQL_CUSTOMERS_WITH_ORDERS,
+    "parts_never_early_shipped": SQL_PARTS_NEVER_EARLY,
+    "parts_early_shipped": SQL_PARTS_EARLY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "nation_region": SQL_NATION_REGION,
     "orders_by_month": SQL_ORDERS_BY_MONTH,

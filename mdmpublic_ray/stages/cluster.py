@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Min, Sum
 
 from ..functions.hashing import crc32_array
-from .util import default_partitions
+from .util import bucketed_join, default_partitions
 
 
 def connected_components(
@@ -94,7 +94,7 @@ def connected_components(
     for rnd in range(max_rounds):
         # 1) neighbor labels: edge (src,dst) picks up label(dst)
         nbr_min = (
-            edges_sym.join(labels, "inner", P, on=("dst",), right_on=("url",))
+            bucketed_join(edges_sym, labels, "dst", "url", n_buckets=P)
             .groupby("src")
             .aggregate(Min("label", alias_name="label"))
             .map_batches(
@@ -108,9 +108,7 @@ def connected_components(
             lambda t: pa.table({"url2": t["url"], "label2": t["label"]}),
             batch_format="pyarrow",
         )
-        jump = labels.join(
-            lbl_as_nodes, "inner", P, on=("label",), right_on=("url2",)
-        ).map_batches(
+        jump = bucketed_join(labels, lbl_as_nodes, "label", "url2", n_buckets=P).map_batches(
             lambda t: pa.table({"url": t["url"], "label": t["label2"]}),
             batch_format="pyarrow",
         )
@@ -130,9 +128,7 @@ def connected_components(
         prev_sum = new_sum
 
     # singletons (nodes with no edges) keep themselves as cluster_id
-    clusters = nodes_ds.join(
-        labels, "left_outer", P, on=("url",), right_on=("url",)
-    ).map_batches(
+    clusters = bucketed_join(nodes_ds, labels, "url", "url", how="left", n_buckets=P).map_batches(
         lambda t: pa.table(
             {
                 "url": t["url"],

@@ -26,11 +26,11 @@ def golden_records(clusters_ds, pages_ds, *, num_partitions: int | None = None, 
     text_len). Uses the bucketed-groupby pattern (see dedup.py) so Python
     overhead is O(buckets), not O(clusters).
     """
-    from .util import default_partitions
+    from .util import bucketed_join, default_partitions
 
     num_partitions = num_partitions or default_partitions()
-    enriched = clusters_ds.join(
-        pages_ds, "inner", num_partitions, on=("url",), right_on=("url",)
+    enriched = bucketed_join(
+        clusters_ds, pages_ds, "url", "url", n_buckets=num_partitions
     )
 
     def add_bucket(batch: pa.Table) -> pa.Table:

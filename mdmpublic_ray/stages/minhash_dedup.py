@@ -1,0 +1,143 @@
+"""MinHash-LSH near-duplicate clustering of the ``documents`` table —
+the training-data dedup op (D5) applied outside the ER pipeline: shingle
+→ minhash → band-bucket groupby → candidate pairs → exact-ish sketch
+Jaccard verify → connected components → (doc_id, rep_id).
+
+Reuses the ER engine's stages with doc_id (as string) standing in for
+url; rep_id is the minimum doc_id of the near-dup component.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import hashing as H
+from ..functions import text as T
+from ..sources.tables import read_table
+from .cluster import connected_components
+from .pairs import candidate_pairs
+from .scoring import sketch_jaccard
+
+NUM_PERM = 128
+N_BANDS = 32  # 32×4: steeper LSH curve than ER (dedup wants high precision)
+SKETCH_K = 160
+
+
+class _DocFeatures:
+    def __init__(self, seed: int = 42):
+        self.a, self.b = H.minhash_permutations(NUM_PERM, seed=seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        toks = [T.tokens(t) for t in batch["text"].to_pylist()]
+        shingles = [H.shingle_hashes(tk, 3) for tk in toks]
+        sigs = H.minhash_signatures_batch(shingles, self.a, self.b)
+        return pa.table(
+            {
+                "doc_key": pa.array([str(i) for i in ids], pa.string()),
+                "sketch": pa.array(
+                    [np.sort(s)[:SKETCH_K].tobytes() for s in shingles], pa.binary()
+                ),
+                "sig": pa.array([np.ascontiguousarray(s).tobytes() for s in sigs], pa.binary()),
+            }
+        )
+
+
+def near_dup_clusters(sf_dir: str, *, threshold: float = 0.6, num_partitions=None):
+    """documents → (doc_id, rep_id): rep_id = min doc_id of the component."""
+    from .util import default_partitions
+
+    P = num_partitions or default_partitions()
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    feats = docs.map_batches(
+        _DocFeatures, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    ).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, urls = [], []
+        for dk, sig_b in zip(batch["doc_key"].to_pylist(), batch["sig"].to_pylist()):
+            sig = np.frombuffer(sig_b, dtype=np.uint32)
+            keys.extend(H.lsh_band_keys(sig, N_BANDS))
+            urls.extend([dk] * N_BANDS)
+        return pa.table({"block_key": pa.array(keys), "url": pa.array(urls)})
+
+    blocks = feats.map_batches(explode, batch_format="pyarrow")
+    pairs = candidate_pairs(blocks).materialize()
+
+    if pairs.count() == 0:
+        edges = None
+    else:
+        from .util import bucketed_join
+
+        fa = feats.map_batches(
+            lambda t: pa.table({"ka": t["doc_key"], "sketch_a": t["sketch"]}),
+            batch_format="pyarrow",
+        )
+        fb = feats.map_batches(
+            lambda t: pa.table({"kb": t["doc_key"], "sketch_b": t["sketch"]}),
+            batch_format="pyarrow",
+        )
+        joined = bucketed_join(
+            bucketed_join(pairs, fa, "url_a", "ka", n_buckets=P),
+            fb,
+            "url_b",
+            "kb",
+            n_buckets=P,
+        )
+
+        def verify(t: pa.Table) -> pa.Table:
+            ua, ub = t["url_a"].to_pylist(), t["url_b"].to_pylist()
+            sa, sb = t["sketch_a"].to_pylist(), t["sketch_b"].to_pylist()
+            keep_a, keep_b = [], []
+            for i in range(len(ua)):
+                j = sketch_jaccard(
+                    np.frombuffer(sa[i], dtype=np.uint64),
+                    np.frombuffer(sb[i], dtype=np.uint64),
+                    SKETCH_K,
+                )
+                if j >= threshold:
+                    keep_a.append(ua[i])
+                    keep_b.append(ub[i])
+            return pa.table(
+                {"url_a": pa.array(keep_a, pa.string()), "url_b": pa.array(keep_b, pa.string())}
+            )
+
+        edges = joined.map_batches(verify, batch_format="pyarrow").materialize()
+        if edges.count() == 0:
+            edges = None
+
+    nodes = feats.map_batches(
+        lambda t: pa.table({"url": t["doc_key"]}), batch_format="pyarrow"
+    )
+
+    def to_out(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["url"], pa.int64()),
+                "rep_id": pc.cast(t["cluster_id"], pa.int64()),
+            }
+        )
+
+    if edges is None:
+        return nodes.map_batches(
+            lambda t: pa.table({"url": t["url"], "cluster_id": t["url"]}),
+            batch_format="pyarrow",
+        ).map_batches(to_out, batch_format="pyarrow")
+
+    # NOTE doc_keys compare lexically as strings during label propagation;
+    # min-label is therefore the lexicographic min. rep_id below re-derives
+    # the NUMERIC min per component so output is stable and intuitive.
+    clusters = connected_components(edges, nodes, num_partitions=P)
+    out = clusters.map_batches(to_out, batch_format="pyarrow")
+
+    def numeric_min(df: pd.DataFrame) -> pd.DataFrame:
+        rep = df.groupby("rep_id", sort=False)["doc_id"].transform("min")
+        return pd.DataFrame({"doc_id": df["doc_id"], "rep_id": rep.astype("int64")})
+
+    from .util import bucketed_map_groups
+
+    return bucketed_map_groups(out, "rep_id", numeric_min)

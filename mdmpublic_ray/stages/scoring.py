@@ -65,9 +65,23 @@ def score_pairs(
         ),
         batch_format="pyarrow",
     )
-    joined = pairs_ds.join(
-        fa, "inner", num_partitions, on=("url_a",), right_on=("url",)
-    ).join(fb, "inner", num_partitions, on=("url_b",), right_on=("url",))
+    from .util import bucketed_join
+
+    fa = fa.map_batches(
+        lambda t: t.rename_columns(["url_fa", "title_a", "sketch_a"]),
+        batch_format="pyarrow",
+    )
+    fb = fb.map_batches(
+        lambda t: t.rename_columns(["url_fb", "title_b", "sketch_b"]),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(
+        bucketed_join(pairs_ds, fa, "url_a", "url_fa", n_buckets=num_partitions),
+        fb,
+        "url_b",
+        "url_fb",
+        n_buckets=num_partitions,
+    )
 
     def score(batch: pa.Table) -> pa.Table:
         ua = batch["url_a"].to_pylist()

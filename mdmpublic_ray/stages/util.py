@@ -71,15 +71,128 @@ def partial_sum_groupby(ds, keys: list[str], sums: dict[str, str], count_as: str
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, sort=False, as_index=False)
-        agg = g.agg(**{out: (src, "sum") for src, out in sums.items()})
-        if count_as:
-            agg[count_as] = g.size()["size"].to_numpy()
+        if sums:
+            agg = g.agg(**{out: (src, "sum") for src, out in sums.items()})
+            if count_as:
+                agg[count_as] = g.size()["size"].to_numpy()
+        else:
+            agg = g.size().rename(columns={"size": count_as})
         return agg
 
     aggs = [Sum(out, alias_name=out) for out in sums.values()]
     if count_as:
         aggs.append(Sum(count_as, alias_name=count_as))
     return ds.map_batches(partial, batch_format="pandas").groupby(keys).aggregate(*aggs)
+
+
+def bucketed_join(
+    left,
+    right,
+    left_on: str,
+    right_on: str,
+    *,
+    how: str = "inner",
+    n_buckets: int = DEFAULT_BUCKETS,
+):
+    """Partitioned hash join built from union + bucketed groupby — the
+    engine's standard join.
+
+    Why not ``Dataset.join``: Ray 2.49's hash-shuffle join crashes when a
+    partition receives zero rows from one side (the empty partition loses
+    its schema and ``pyarrow.Table.join`` raises "No match ... on left
+    side"), which reliably happens for small or skewed inputs. This
+    implementation is the portable pattern instead: tag each side, give
+    both the SAME unified schema (missing columns null-typed), add
+    ``bucket = crc32(key) % P``, one ``groupby(bucket)`` shuffle, then a
+    vectorized ``pandas.merge`` per bucket. O(P) Python calls; payload
+    columns (binary sketches included) ride through Arrow untouched.
+
+    ``how``: "inner" or "left" (left join keeps unmatched left rows with
+    nulls). Key columns must be string or integer; output columns =
+    left's then right's (minus ``right_on``).
+    """
+    import pyarrow as _pa
+
+    lschema = left.schema()  # ray.data Schema wrapper: .names + .types
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c != right_on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"bucketed_join column collision: {overlap}")
+    def _pa_type(t):
+        import pyarrow as _pa
+
+        if isinstance(t, _pa.DataType):
+            return t
+        if t is str:
+            return _pa.string()
+        if t is bytes:
+            return _pa.binary()
+        dt = np.dtype(t)
+        if dt == np.dtype(object):
+            # pandas-produced blocks report strings as object dtype
+            return _pa.string()
+        return _pa.from_numpy_dtype(dt)
+
+    ltypes = {c: _pa_type(t) for c, t in zip(lschema.names, lschema.types)}
+    rtypes = {
+        c: _pa_type(t) for c, t in zip(rschema.names, rschema.types) if c != right_on
+    }
+    all_cols = lcols + rcols
+
+    def tag(side_is_left: bool):
+        def f(batch: _pa.Table) -> _pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for c in all_cols:
+                if side_is_left and c in ltypes:
+                    cols[c] = batch[c]
+                elif not side_is_left and c in rtypes:
+                    cols[c] = batch[c]
+                else:
+                    cols[c] = _pa.nulls(n, ltypes.get(c) or rtypes.get(c))
+            key = batch[left_on if side_is_left else right_on]
+            cols["_jk"] = _pa.compute.cast(key, _pa.string())
+            cols["_side"] = _pa.array(
+                np.zeros(n, dtype=np.int8) if side_is_left else np.ones(n, dtype=np.int8)
+            )
+            t = _pa.table(cols)
+            b = crc32_array(t["_jk"].to_pylist()) % np.uint32(n_buckets)
+            return t.append_column("_bucket", _pa.array(b.astype(np.int32)))
+
+        return f
+
+    tagged = left.map_batches(tag(True), batch_format="pyarrow").union(
+        right.map_batches(tag(False), batch_format="pyarrow")
+    )
+
+    out_schema = _pa.schema([(c, ltypes.get(c) or rtypes.get(c)) for c in all_cols])
+
+    def merge(df: pd.DataFrame) -> _pa.Table:
+        lf = df[df["_side"] == 0]
+        rt = df[df["_side"] == 1]
+        out = pd.merge(
+            lf[lcols + ["_jk"]],
+            rt[rcols + ["_jk"]],
+            on="_jk",
+            how="inner" if how == "inner" else "left",
+            sort=False,
+        ).drop(columns=["_jk"])
+        # Emit with the EXPLICIT schema: empty merges otherwise carry
+        # object dtypes that Arrow would type as string, breaking later
+        # schema unification (bool vs string etc).
+        arrays = [
+            _pa.array(out[c].to_numpy(copy=False), type=out_schema.field(c).type,
+                      from_pandas=True)
+            for c in all_cols
+        ]
+        return _pa.Table.from_arrays(arrays, schema=out_schema)
+
+    def strip(df: pd.DataFrame) -> _pa.Table:
+        return merge(df.drop(columns=["_bucket"]))
+
+    return tagged.groupby("_bucket").map_groups(strip, batch_format="pandas")
 
 
 def cents(col, scale: int = 100):
