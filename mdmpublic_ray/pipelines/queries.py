@@ -766,6 +766,32 @@ SELECT query_vec_id, neighbor_vec_id, rank FROM ranked WHERE rank <= 10
 """
 
 
+def q_embeddings_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (dedup family): all pairs
+    with cosine >= 0.45, ids only so the oracle compare is float-free.
+    Exact baseline; the LSH-bucketed scale path is ``knn_cosine_lsh``."""
+    from ..stages.ann import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(sf_dir, tau=0.45)
+
+
+SQL_EMBEDDINGS_NEARDUP = """
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM t a JOIN t b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+"""
+
+
+def q_knn_cosine_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-k (scale path for `knn_cosine`;
+    rows-only — approximate results have no SQL oracle; recall vs the
+    brute-force baseline is asserted in tests/test_ann.py)."""
+    from ..stages.ann import knn_cosine_lsh
+
+    return knn_cosine_lsh(sf_dir, n_queries=5, k=10)
+
+
 def q_embedding_dims(sf_dir: str):
     """List-length projection (array family §2.8)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -895,7 +921,9 @@ QUERIES = {
     "similar_doc_pairs": q_similar_doc_pairs,
     "knn_cosine": q_knn_cosine,
     "embedding_dims": q_embedding_dims,
+    "embeddings_neardup": q_embeddings_neardup,
     # rows-only (no SQL oracle)
+    "knn_cosine_lsh": q_knn_cosine_lsh,
     "docs_langid": q_docs_langid,
     "docs_simhash": q_docs_simhash,
     "docs_minhash_clusters": q_docs_minhash_clusters,
@@ -929,4 +957,5 @@ ORACLE_SQL = {
     "similar_doc_pairs": SQL_SIMILAR_DOC_PAIRS,
     "knn_cosine": SQL_KNN,
     "embedding_dims": SQL_EMBEDDING_DIMS,
+    "embeddings_neardup": SQL_EMBEDDINGS_NEARDUP,
 }

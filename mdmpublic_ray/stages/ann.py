@@ -97,6 +97,13 @@ def knn_cosine(sf_dir: str, *, n_queries: int = 5, k: int = 10):
         num_cpus=1,
     )
 
+    return bucketed_map_groups(partial, "query_vec_id", _merge_topk(k), n_buckets=8)
+
+
+def _merge_topk(k: int):
+    """Grouped merge of per-batch partial top-k → global top-k with rank
+    1..k by (sim desc, neighbor id asc) — a total order, deterministic."""
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         for qid, g in df.groupby("query_vec_id", sort=False):
@@ -118,7 +125,64 @@ def knn_cosine(sf_dir: str, *, n_queries: int = 5, k: int = 10):
             )
         return pd.concat(out)[cols]
 
-    return bucketed_map_groups(partial, "query_vec_id", merge, n_buckets=8)
+    return merge
+
+
+class _NearDupPairs:
+    """Actor: emit (vec_id_a < vec_id_b) pairs with cosine >= tau between
+    this batch and the broadcast corpus matrix (exact all-pairs baseline
+    for embedding-cosine near-dup detection; each unordered pair is seen
+    from both endpoints' batches and the a < b filter keeps exactly one).
+
+    Scale note: the broadcast side is O(corpus); this exact form is the
+    small/oracle baseline. At 100 TB the same batch kernel runs *within
+    LSH buckets* (``lsh_buckets`` partitioning below), so each batch only
+    multiplies against its bucket's matrix."""
+
+    def __init__(self, mat_ref, tau: float):
+        import ray
+
+        ids, mat = ray.get(mat_ref)
+        self.ids = ids
+        self.m = _normalize(mat)  # (N, d)
+        self.tau = tau
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        b = _normalize(_embedding_matrix(batch))
+        sims = b @ self.m.T  # (nb, N)
+        ib, jn = np.nonzero(sims >= self.tau)
+        a = vids[ib]
+        bb = self.ids[jn]
+        keep = a < bb
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a[keep], pa.int64()),
+                "vec_id_b": pa.array(bb[keep], pa.int64()),
+            }
+        )
+
+
+def cosine_neardup_pairs(sf_dir: str, *, tau: float = 0.45):
+    """All pairs of embeddings with cosine similarity >= tau — the
+    embedding-cosine near-duplicate detector (dedup family, SURVEY.md
+    §2.7 D5 cousin). Exact (matches the DuckDB cross-join oracle);
+    output is integer ids only, so the value-hash compare is float-free."""
+    import ray
+
+    full = read_table_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mat_ref = ray.put(
+        (full["vec_id"].to_numpy(zero_copy_only=False), _embedding_matrix(full))
+    )
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        _NearDupPairs,
+        fn_constructor_kwargs={"mat_ref": mat_ref, "tau": tau},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
 
 
 class _LSHAssign:
@@ -134,6 +198,113 @@ class _LSHAssign:
         bits = (m @ self.planes.T) > 0  # (n, n_bits)
         ids = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
         return batch.append_column("bucket_id", pa.array(ids.astype(np.int64)))
+
+
+def _sign_bits_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    return bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
+
+
+class _BatchTopKLSH:
+    """Actor: bucket-pruned cosine top-k. A corpus row is scored for a
+    query only when its ``bucket_id`` is in the query's probe set (own
+    bucket ± Hamming-1). Everything outside the probe sets was already
+    filtered before this stage, so the scan itself shrinks — the IVF-style
+    scale path (probe few partitions instead of the full corpus)."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        qids, qmat, probe_sets = ray.get(queries_ref)
+        self.qids = qids
+        self.q = _normalize(qmat)
+        self.probes = probe_sets  # list[np.ndarray] of allowed bucket ids
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        bids = batch["bucket_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_embedding_matrix(batch.drop_columns(["bucket_id"])))
+        sims = m @ self.q.T  # (n, nq)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(self.qids):
+            allowed = np.isin(bids, self.probes[j])
+            allowed &= vids != qid
+            idx = np.flatnonzero(allowed)
+            if idx.size == 0:
+                continue
+            col = sims[idx, j]
+            kk = min(self.k, col.size)
+            top = np.argpartition(-col, kk - 1)[:kk] if kk < col.size else np.arange(col.size)
+            for t in top:
+                out_q.append(qid)
+                out_n.append(int(vids[idx[t]]))
+                out_s.append(float(col[t]))
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, pa.int64()),
+                "neighbor_vec_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def knn_cosine_lsh(
+    sf_dir: str,
+    *,
+    n_queries: int = 5,
+    k: int = 10,
+    n_bits: int = 4,
+    seed: int = 42,
+):
+    """Approximate top-k: random-hyperplane LSH buckets + Hamming-1
+    multiprobe. The corpus scan is pruned to the union of all queries'
+    probe buckets (at 4 bits / Hamming-1 each query probes 5 of 16
+    buckets), then scored per batch and merged like ``knn_cosine``.
+    Recall vs the brute-force baseline is asserted in tests."""
+    import ray
+
+    q = read_table_arrow(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        pa.compute.less(pa.compute.field("vec_id"), n_queries)
+    )
+    qmat = _embedding_matrix(q)
+    dim = qmat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    q_buckets = _sign_bits_ids(_normalize(qmat), planes)
+    probe_sets = [
+        np.unique(np.concatenate(([b], b ^ (1 << np.arange(n_bits, dtype=np.int64)))))
+        for b in q_buckets
+    ]
+    union_buckets = np.unique(np.concatenate(probe_sets))
+    queries_ref = ray.put(
+        (q["vec_id"].to_numpy(zero_copy_only=False), qmat, probe_sets)
+    )
+    planes_ref = ray.put(planes)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        _LSHAssign,
+        fn_constructor_kwargs={"planes_ref": planes_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    allowed = set(int(b) for b in union_buckets)
+    pruned = bucketed.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["bucket_id"], value_set=pa.array(sorted(allowed), pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    partial = pruned.map_batches(
+        _BatchTopKLSH,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return bucketed_map_groups(partial, "query_vec_id", _merge_topk(k), n_buckets=8)
 
 
 def lsh_buckets(sf_dir: str, *, n_bits: int = 8, dim: int | None = None, seed: int = 42):

@@ -51,7 +51,13 @@ def test_query_matches_oracle(name, ray_session):
 
 @pytest.mark.parametrize(
     "name",
-    ["docs_langid", "docs_simhash", "docs_minhash_clusters", "pages_media_features"],
+    [
+        "docs_langid",
+        "docs_simhash",
+        "docs_minhash_clusters",
+        "pages_media_features",
+        "knn_cosine_lsh",
+    ],
 )
 def test_rows_only_queries_run(name, ray_session):
     res = to_pandas(QUERIES[name](SF))
