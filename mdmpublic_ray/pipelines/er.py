@@ -34,7 +34,7 @@ class ERConfig:
     # None → sized to the Ray cluster at runtime (util.default_partitions)
     num_partitions: int | None = None
     n_buckets: int = 64
-    max_block_size: int = 2000
+    max_block_size: int = 256
     threshold: float = 0.35
     extract_batch_size: int = 256
     extract_concurrency: tuple = (2, 8)

@@ -30,6 +30,62 @@ from ..functions.hashing import crc32_array
 from .util import bucketed_join, default_partitions
 
 
+# Below this many (undirected) match edges the component structure is
+# finished locally on the driver: a union-find over ≤1M edges is <1 s and
+# ZERO shuffle rounds, vs 3 shuffles × rounds for the distributed path.
+# Size-aware physical planning, same principle as broadcast-vs-shuffle
+# join selection — the distributed rounds remain the big-graph path.
+LOCAL_EDGE_THRESHOLD = 1_000_000
+
+
+def _local_components(edges_sym, nodes_ds):
+    """Driver-side union-find finish for small edge sets; labels are
+    broadcast back via ray.put and applied in one map pass."""
+    import ray
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for batch in edges_sym.iter_batches(batch_format="pyarrow"):
+        for s, d in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
+            rs, rd = find(s), find(d)
+            if rs != rd:  # union by lexical min → deterministic roots
+                if rs < rd:
+                    parent[rd] = rs
+                else:
+                    parent[rs] = rd
+    labels = {u: find(u) for u in list(parent)}
+    ref = ray.put(labels)
+
+    class Label:
+        def __init__(self, ref):
+            import ray as _ray
+
+            self.labels = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            urls = t["url"].to_pylist()
+            return pa.table(
+                {
+                    "url": t["url"],
+                    "cluster_id": pa.array(
+                        [self.labels.get(u, u) for u in urls], pa.string()
+                    ),
+                }
+            )
+
+    return nodes_ds.map_batches(
+        Label, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
 def connected_components(
     edges_ds,
     nodes_ds,
@@ -37,12 +93,15 @@ def connected_components(
     num_partitions: int | None = None,
     max_rounds: int = 15,
     checkpoint_fn=None,
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
 ):
     """edges(url_a, url_b) + nodes(url) → clusters(url, cluster_id).
 
     cluster_id = lexicographic-min url of the component (deterministic,
     SURVEY.md §7.0). ``checkpoint_fn(round_idx, labels_ds)`` is called per
     round when given (per-round checkpointing, SURVEY.md §7.1 M5).
+    ``local_threshold``: edge count under which the driver finishes the
+    closure locally (0 forces the distributed rounds — used in tests).
     """
     P = num_partitions or default_partitions()
 
@@ -57,13 +116,21 @@ def connected_components(
 
     edges_sym = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
 
-    if edges_sym.count() == 0:
+    n_edges = edges_sym.count()
+    from .util import adaptive_partitions
+
+    P = adaptive_partitions(n_edges, P)
+
+    if n_edges == 0:
         # no matches at all → every node is its own cluster (also guards
         # the schema-less-empty-dataset join pitfall)
         return nodes_ds.map_batches(
             lambda t: pa.table({"url": t["url"], "cluster_id": t["url"]}),
             batch_format="pyarrow",
         )
+
+    if n_edges <= local_threshold * 2:  # edges_sym holds both directions
+        return _local_components(edges_sym, nodes_ds)
 
     # active set = distinct edge endpoints; labels init to self
     labels = (

@@ -22,7 +22,11 @@ import pyarrow as pa
 
 from ..functions.hashing import crc32_array
 
-DEFAULT_MAX_BLOCK = 2000
+# Pair cost is O(s²) per block: 256 → ≤32k pairs per block. Hot hosts
+# (the planted big-portal skew: 2000 pages on one host) are capped OUT of
+# the host pass — their near-duplicates are still paired by the LSH pass,
+# whose bucket sizes are bounded by text similarity, not site size.
+DEFAULT_MAX_BLOCK = 256
 DEFAULT_BUCKETS = 64
 
 

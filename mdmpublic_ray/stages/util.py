@@ -28,6 +28,15 @@ def default_partitions(cap: int = 32) -> int:
     return max(2, min(cap, cpus))
 
 
+def adaptive_partitions(n_rows: int, cap: int, *, rows_per_partition: int = 50_000) -> int:
+    """Shuffle width sized to the DATA, bounded by the cluster cap: a
+    6k-row label table shuffled 32 ways is pure latency (32 groups × 3
+    shuffles × N rounds of near-empty tasks), while a 10^9-row table gets
+    the full cap. Callers pass a count they already have (materialized
+    stage counts are free)."""
+    return max(2, min(cap, n_rows // rows_per_partition + 1))
+
+
 def add_bucket(ds, key: str, n_buckets: int = DEFAULT_BUCKETS, out: str = "_bucket"):
     """Deterministic bucket column from a string or integer key column."""
 
