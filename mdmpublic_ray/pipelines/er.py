@@ -65,7 +65,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
 
         ck = CheckpointRunner(cfg.checkpoint_dir, cfg.run_id)
 
-    def stage(name, make):
+    def stage(name, make, parents=()):
         """Stage boundary. With a checkpoint dir: parquet + manifest +
         skip-if-valid. Without: ``materialize()`` — the pipeline DAG is a
         diamond (deduped feeds extraction+nodes+golden; features feeds
@@ -76,7 +76,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         driver heap."""
         if ck is None:
             return make().materialize()
-        return ck.run_stage(name, make)
+        return ck.run_stage(name, make, parents=parents)
 
     deduped = stage(
         "deduped",
@@ -94,13 +94,15 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         lambda: features_stage(
             deduped, concurrency=cfg.features_concurrency, seed=cfg.seed
         ),
+        parents=("deduped",),
     )
-    blocks = stage("blocks", lambda: block_keys_stage(features))
+    blocks = stage("blocks", lambda: block_keys_stage(features), parents=("features",))
     pairs = stage(
         "pairs",
         lambda: candidate_pairs(
             blocks, max_block_size=cfg.max_block_size, n_buckets=cfg.n_buckets
         ),
+        parents=("blocks",),
     )
     def make_scored():
         import ray.data as rd
@@ -128,7 +130,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             threshold=cfg.threshold,
         )
 
-    scored = stage("scored", make_scored)
+    scored = stage("scored", make_scored, parents=("pairs", "features"))
     edges = scored.map_batches(
         lambda t: t.filter(t["is_match"]).select(["url_a", "url_b"]),
         batch_format="pyarrow",
@@ -142,12 +144,14 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             num_partitions=cfg.num_partitions,
             max_rounds=cfg.max_cc_rounds,
         ),
+        parents=("scored", "deduped"),
     )
     golden = stage(
         "golden",
         lambda: golden_records(
             clusters, deduped, num_partitions=cfg.num_partitions, n_buckets=cfg.n_buckets
         ),
+        parents=("clusters", "deduped"),
     )
     return {
         "deduped": deduped,

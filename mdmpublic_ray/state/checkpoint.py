@@ -17,6 +17,7 @@ manifest is written, so a killed run never leaves a half-valid stage.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -48,9 +49,24 @@ class CheckpointRunner:
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self._stage_dir(name), "_manifest.json")
 
-    def is_valid(self, name: str) -> bool:
-        """A stage is valid iff its manifest exists and every fragment it
-        lists is present with the recorded size."""
+    def manifest_digest(self, name: str) -> str | None:
+        """sha256 of the stage's manifest file — the lineage token a
+        downstream stage records. A parent that re-ran gets a fresh
+        manifest (new created_unix/wall) → new digest → every descendant
+        invalidates, even if the parent's data happens to be identical
+        (conservative, always safe)."""
+        mp = self._manifest_path(name)
+        try:
+            with open(mp, "rb") as f:
+                return hashlib.sha256(f.read()).hexdigest()
+        except OSError:
+            return None
+
+    def is_valid(self, name: str, parent_digests: dict[str, str | None] | None = None) -> bool:
+        """A stage is valid iff its manifest exists, every fragment it
+        lists is present with the recorded size, and (when lineage is
+        tracked) the recorded parent-manifest digests match the parents'
+        CURRENT manifests."""
         mp = self._manifest_path(name)
         if not os.path.exists(mp):
             return False
@@ -59,6 +75,8 @@ class CheckpointRunner:
                 man = json.load(f)
         except (json.JSONDecodeError, OSError):
             return False
+        if parent_digests is not None and man.get("parents", {}) != parent_digests:
+            return False
         sd = self._stage_dir(name)
         for frag in man.get("fragments", []):
             p = os.path.join(sd, frag["path"])
@@ -66,13 +84,16 @@ class CheckpointRunner:
                 return False
         return True
 
-    def run_stage(self, name: str, make):
+    def run_stage(self, name: str, make, parents: tuple[str, ...] = ()):
         """Return a Dataset for stage ``name``: re-read the checkpoint when
-        valid, else build via ``make()``, write, manifest, and re-read."""
+        valid, else build via ``make()``, write, manifest, and re-read.
+        ``parents`` names upstream stages; their manifest digests are
+        recorded for lineage-aware invalidation."""
         import ray.data as rd
 
+        parent_digests = {p: self.manifest_digest(p) for p in parents}
         sd = self._stage_dir(name)
-        if self.is_valid(name):
+        if self.is_valid(name, parent_digests):
             self.skipped.append(name)
             # partitioning=None: the `stage=<name>` directory name must NOT
             # be hive-parsed into a phantom "stage" column (it would collide
@@ -97,6 +118,7 @@ class CheckpointRunner:
             "stage": name,
             "rows": rows,
             "fragments": frags,
+            "parents": parent_digests,
             "wall_seconds": round(wall, 3),
             "created_unix": int(time.time()),
         }

@@ -1,0 +1,134 @@
+"""Resumability: per-stage Parquet checkpoints + lineage manifests
+(north_rule "resumable from checkpoint with per-partition lineage +
+metrics"; reference analogs s3sync.sh:47-51 manifest-skip and
+backup_dir.sh run-state files)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from mdmpublic_ray.pipelines.er import ERConfig, run_er
+
+STAGES = ["deduped", "features", "blocks", "pairs", "scored", "clusters", "golden"]
+
+
+def _golden_df(out) -> pd.DataFrame:
+    return (
+        out["golden"].to_pandas().sort_values("cluster_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
+@pytest.fixture()
+def ck_env(ray_session, corpus_dir, tmp_path):
+    import ray.data as rd
+
+    pages = rd.read_parquet(f"{corpus_dir}/pages.parquet")
+    ckdir = str(tmp_path / "ck")
+    cfg = ERConfig(num_partitions=8, n_buckets=16, checkpoint_dir=ckdir, run_id="r1")
+    return pages, cfg, os.path.join(ckdir, "r1")
+
+
+def test_full_rerun_skips_every_stage(ck_env):
+    from mdmpublic_ray.state.checkpoint import CheckpointRunner
+
+    pages, cfg, run_dir = ck_env
+    g1 = _golden_df(run_er(pages, cfg))
+
+    # every stage has a manifest + metrics sidecar with rows recorded
+    for s in STAGES:
+        man = json.load(open(os.path.join(run_dir, f"stage={s}", "_manifest.json")))
+        assert man["rows"] >= 0 and man["fragments"], s
+        assert os.path.exists(os.path.join(run_dir, f"stage={s}", "_metrics.json"))
+
+    # rerun: all stages valid → skipped, identical output
+    g2 = _golden_df(run_er(pages, cfg))
+    pd.testing.assert_frame_equal(g1, g2)
+    ck = CheckpointRunner(cfg.checkpoint_dir, cfg.run_id)
+    for s in STAGES:
+        assert ck.is_valid(s), s
+
+
+def test_corrupted_stage_invalidates_and_recovers(ck_env):
+    pages, cfg, run_dir = ck_env
+    g1 = _golden_df(run_er(pages, cfg))
+
+    # truncate a fragment of the `pairs` stage → its size check fails
+    sd = os.path.join(run_dir, "stage=pairs")
+    frag = json.load(open(os.path.join(sd, "_manifest.json")))["fragments"][0]
+    with open(os.path.join(sd, frag["path"]), "wb") as f:
+        f.write(b"corrupt")
+
+    before = {
+        s: json.load(open(os.path.join(run_dir, f"stage={s}", "_manifest.json")))[
+            "created_unix"
+        ]
+        for s in STAGES
+    }
+    g2 = _golden_df(run_er(pages, cfg))
+    pd.testing.assert_frame_equal(g1, g2)  # recovery is exact
+
+    after = {
+        s: json.load(open(os.path.join(run_dir, f"stage={s}", "_manifest.json")))[
+            "created_unix"
+        ]
+        for s in STAGES
+    }
+    # upstream of pairs untouched (manifest files not rewritten)
+    mtime = lambda s: os.path.getmtime(os.path.join(run_dir, f"stage={s}", "_manifest.json"))
+    assert before["deduped"] == after["deduped"]
+    assert before["features"] == after["features"]
+    assert before["blocks"] == after["blocks"]
+
+
+def test_parent_rerun_invalidates_descendants(ck_env):
+    """Lineage chain: deleting an upstream stage forces it to re-run,
+    and its new manifest digest must invalidate every descendant —
+    nothing downstream may serve stale data."""
+    from mdmpublic_ray.state.checkpoint import CheckpointRunner
+
+    pages, cfg, run_dir = ck_env
+    g1 = _golden_df(run_er(pages, cfg))
+
+    shutil.rmtree(os.path.join(run_dir, "stage=features"))
+    g2 = _golden_df(run_er(pages, cfg))
+    pd.testing.assert_frame_equal(g1, g2)
+
+    # features re-ran, and so did every descendant (fresh manifests);
+    # deduped (no parent among the removed) was skipped.
+    man = lambda s: json.load(
+        open(os.path.join(run_dir, f"stage={s}", "_manifest.json"))
+    )
+    ck = CheckpointRunner(cfg.checkpoint_dir, cfg.run_id)
+    # descendants' recorded parent digests must match the CURRENT parents
+    assert man("blocks")["parents"]["features"] == ck.manifest_digest("features")
+    assert man("scored")["parents"]["pairs"] == ck.manifest_digest("pairs")
+    assert man("golden")["parents"]["clusters"] == ck.manifest_digest("clusters")
+
+
+def test_mid_run_kill_resumes_from_partial_state(ck_env):
+    """Simulated crash: only the first three stages exist (as after a kill
+    during `pairs`); the rerun must skip them and complete the rest with
+    output identical to an uninterrupted run."""
+    from mdmpublic_ray.state.checkpoint import CheckpointRunner
+
+    pages, cfg, run_dir = ck_env
+    g1 = _golden_df(run_er(pages, cfg))
+
+    for s in ["pairs", "scored", "clusters", "golden"]:
+        shutil.rmtree(os.path.join(run_dir, f"stage={s}"))
+    kept = {
+        s: os.path.getmtime(os.path.join(run_dir, f"stage={s}", "_manifest.json"))
+        for s in ["deduped", "features", "blocks"]
+    }
+
+    g2 = _golden_df(run_er(pages, cfg))
+    pd.testing.assert_frame_equal(g1, g2)
+    for s, t in kept.items():
+        assert os.path.getmtime(os.path.join(run_dir, f"stage={s}", "_manifest.json")) == t, (
+            f"{s} should have been skipped"
+        )
