@@ -100,38 +100,115 @@ def _run_bench() -> dict:
     }
 
 
+def _scaling_corpus() -> str:
+    """Deterministic scaling-bench corpus (generated once, reused by both
+    child runs): realistic web-page bodies (300-800 tokens ≈ real pages,
+    not the tiny unit-test docs) so the bench measures COMPUTE scaling,
+    not per-stage scheduling latency on toy data."""
+    d = os.environ.get("GRAFT_SCALING_DIR", "/tmp/graft_scaling_corpus")
+    n_clusters = int(os.environ.get("GRAFT_SCALING_CLUSTERS", "12000"))
+    marker = os.path.join(d, f"pages_{n_clusters}.ok")
+    if not os.path.exists(marker):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from mdmpublic_ray.corpus import write_corpus
+
+        write_corpus(d, n_clusters=n_clusters, seed=42, doc_tokens=(300, 800))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def _scaling_child(ncpu: int) -> None:
+    """One fresh-process run of the flagship ER pipeline over the scaling
+    corpus; prints a single JSON line."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er import ERConfig, run_er
+
+    d = _scaling_corpus()
+    pages_path = os.path.join(d, "pages.parquet")
+    pages = rd.read_parquet(pages_path)
+    n_pages = pages.count()  # warms the page cache too
+    in_bytes = os.path.getsize(pages_path)
+    t0 = time.monotonic()
+    out = run_er(rd.read_parquet(pages_path), ERConfig())
+    n_scored = out["scored"].count()
+    n_golden = out["golden"].count()
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "num_cpus": ncpu,
+                "wall_sec": round(wall, 3),
+                "pages": n_pages,
+                "input_mb": round(in_bytes / 1e6, 1),
+                "pairs_scored": n_scored,
+                "golden": n_golden,
+                "rows_per_sec": round(n_pages / wall, 1),
+                "mb_per_sec": round(in_bytes / 1e6 / wall, 2),
+                "pairs_per_sec": round(n_scored / wall, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def _scaling() -> None:
+    """BASELINE.json N→4N rule, sandbox protocol (BASELINE.md §3): the
+    IDENTICAL job on the IDENTICAL input in two fresh processes at
+    num_cpus=8 and num_cpus=32; strong-scaling efficiency
+    eff = (T8/T32)/(32/8) = throughput32 / (4 × throughput8)."""
     import subprocess
 
     here = os.path.abspath(__file__)
+    _scaling_corpus()  # generate once, outside the timed children
     out = {}
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         r = subprocess.run(
-            [sys.executable, here], env=env, capture_output=True, text=True, check=True
+            [sys.executable, here, "--scaling-child", str(ncpu)],
+            capture_output=True,
+            text=True,
+            check=True,
         )
         out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
-    t8, t32 = out[8]["value"], out[32]["value"]
+    t8, t32 = out[8]["wall_sec"], out[32]["wall_sec"]
     eff = (t8 / t32) / (32 / 8)
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency_8_to_32_cpus",
+                "job": "full ER pipeline, fixed input (strong scaling)",
+                "pages": out[8]["pages"],
+                "input_mb": out[8]["input_mb"],
                 "sec_8": t8,
                 "sec_32": t32,
-                "throughput_8_rows_per_sec": out[8].get("rows_per_sec"),
-                "throughput_32_rows_per_sec": out[32].get("rows_per_sec"),
+                "throughput_8_rows_per_sec": out[8]["rows_per_sec"],
+                "throughput_32_rows_per_sec": out[32]["rows_per_sec"],
+                "pairs_per_sec_32": out[32]["pairs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "target": 0.8,
-                "queries_8": out[8]["queries"],
-                "queries_32": out[32]["queries"],
             }
         )
     )
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-child" in sys.argv:
+        _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--scaling" in sys.argv:
         _scaling()
     else:
         result = _run_bench()

@@ -121,6 +121,7 @@ def generate_pages(
     hot_host_frac: float = 0.3,
     n_hosts: int = 40,
     singleton_frac: float = 0.35,
+    doc_tokens: tuple[int, int] = (30, 80),
 ) -> tuple[pa.Table, pa.Table, pa.Table]:
     """Return (pages, truth_clusters, labels).
 
@@ -149,7 +150,10 @@ def generate_pages(
     for ent in range(total_entities):
         is_singleton = ent >= n_clusters
         cid = f"c{ent:06d}"
-        base_len = int(rng.integers(30, 80))
+        # doc_tokens sizes documents: (30, 80) keeps unit tests fast;
+        # the scaling bench uses (300, 800) — realistic web-page bodies —
+        # so per-document compute, not per-stage latency, dominates.
+        base_len = int(rng.integers(doc_tokens[0], doc_tokens[1]))
         base = [vocab[i] for i in rng.integers(0, nv, size=base_len)]
         lang = ["en", "es", "fr", "de", "pt"][int(rng.integers(0, 5))]
         size = 1 if is_singleton else int(rng.integers(2, 6))

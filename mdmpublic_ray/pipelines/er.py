@@ -37,8 +37,9 @@ class ERConfig:
     max_block_size: int = 256
     threshold: float = 0.35
     extract_batch_size: int = 256
-    extract_concurrency: tuple = (2, 8)
-    features_concurrency: tuple = (2, 8)
+    # None → actor pool sized to the cluster (util.default_actor_pool)
+    extract_concurrency: tuple | None = None
+    features_concurrency: tuple | None = None
     max_cc_rounds: int = 15
     checkpoint_dir: str | None = None  # per-stage parquet + manifests
     run_id: str = "run0"
@@ -78,14 +79,24 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             return make().materialize()
         return ck.run_stage(name, make, parents=parents)
 
-    deduped = stage(
-        "deduped",
-        lambda: extract_stage(
-            dedup_latest(pages_ds, "url", "warc_ts", n_buckets=cfg.n_buckets),
+    def make_deduped():
+        # prune at the start: the input table may carry a `text` column
+        # (input_hint schema) but the pipeline re-derives text from html
+        # (byte-identity invariant) — carrying it through the dedup
+        # shuffle would move ~45% more bytes for nothing.
+        cols = pages_ds.schema().names
+        slim = (
+            pages_ds.select_columns([c for c in cols if c != "text"])
+            if "text" in cols
+            else pages_ds
+        )
+        return extract_stage(
+            dedup_latest(slim, "url", "warc_ts", n_buckets=cfg.n_buckets),
             batch_size=cfg.extract_batch_size,
             concurrency=cfg.extract_concurrency,
-        ),
-    )
+        )
+
+    deduped = stage("deduped", make_deduped)
     if deduped.count() == 0:
         return _empty_outputs()
 
@@ -180,8 +191,8 @@ def _empty_outputs() -> dict:
         "deduped": t([("url", s), ("warc_ts", pa.timestamp("us")), ("text", s), ("lang", s)]),
         "features": t([("url", s), ("title", s), ("n_tokens", pa.int64()),
                        ("sketch", pa.binary()), ("sig", pa.binary())]),
-        "blocks": t([("block_key", s), ("url", s)]),
-        "block_stats": t([("block_key", s), ("n_members", pa.int64())]),
+        "blocks": t([("block_key", pa.int64()), ("url", s)]),
+        "block_stats": t([("block_key", pa.int64()), ("n_members", pa.int64())]),
         "pairs": t([("url_a", s), ("url_b", s)]),
         "scored": t([("url_a", s), ("url_b", s), ("jaccard", f), ("jw_title", f),
                      ("jw_url", f), ("score", f), ("is_match", pa.bool_())]),

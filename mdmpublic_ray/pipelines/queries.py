@@ -331,6 +331,89 @@ def q_distinct_event_types(sf_dir: str):
 SQL_DISTINCT_TYPES = "SELECT DISTINCT event_type FROM events"
 
 
+def q_hourly_type_windows(sf_dir: str):
+    """Tumbling-window aggregate (streaming-window family, SURVEY.md §2.9):
+    1-hour windows per event_type with count + exact value sum. Windows are
+    computed per batch (floor ts to the hour — embarrassingly parallel)
+    and pre-aggregated map-side before one small groupby shuffle."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                # string form: ns-vs-us timestamp units differ between
+                # pandas and duckdb through the driver's int64 canon
+                "window_start": df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"),
+                "value_c": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+
+    agg = partial_sum_groupby(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"value_c": "value_c"},
+        "n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": t["window_start"],
+                "n": t["n"],
+                "sum_value": pc.divide(pc.cast(t["value_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_HOURLY_WINDOWS = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start, COUNT(*) AS n,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_purchase_asof_signup(sf_dir: str):
+    """As-of join (custom operator the Dataset API lacks; brief's
+    windowed/as-of family): each purchase event picks up the latest
+    signup of the SAME user at-or-before its timestamp. Implemented as a
+    bucketed-by-user shuffle + per-bucket sorted ``pandas.merge_asof`` —
+    the sort-merge formulation; partitioning assumption: one user's
+    events fit one bucket (true for any user with < millions of events;
+    hot users would need a time-sliced refinement)."""
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        s = df[df["event_type"] == "signup"].sort_values("ts", kind="mergesort")
+        out = pd.merge_asof(
+            p[["event_id", "ts", "user_id"]],
+            s[["ts", "user_id"]].rename(columns={"ts": "signup_ts"}),
+            left_on="ts",
+            right_on="signup_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = out[out["signup_ts"].notna()]
+        return out[["event_id", "user_id", "ts", "signup_ts"]]
+
+    return bucketed_map_groups(ds, "user_id", asof)
+
+
+SQL_PURCHASE_ASOF_SIGNUP = """
+SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
 # --- joins (§2.4) ---------------------------------------------------------
 
 
@@ -683,6 +766,27 @@ FROM t
 """
 
 
+def q_docs_first_word(sf_dir: str):
+    """Vectorized regex field extraction (M4/M11 family — the regex
+    capture-group parsers diagnostic_jenkinsjob_slow.py:25-26 and
+    ssh_login_report.sh:137-203): first word of each document via one
+    ``pc.extract_regex`` kernel call per batch (RE2 on both sides)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["text"], r"^(?P<w>[A-Za-z]+)")
+        w = pc.coalesce(pc.struct_field(m, "w"), "")
+        return pa.table({"doc_id": t["doc_id"], "first_word": w})
+
+    return ds.map_batches(ext, batch_format="pyarrow")
+
+
+SQL_DOCS_FIRST_WORD = """
+SELECT doc_id, coalesce(regexp_extract(text, '^([A-Za-z]+)', 1), '') AS first_word
+FROM documents
+"""
+
+
 def q_docs_lang_counts(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["lang"])
     return partial_sum_groupby(ds, ["lang"], {}, "n")
@@ -906,6 +1010,8 @@ QUERIES = {
     "event_type_stats": q_event_type_stats,
     "daily_type_counts": q_daily_type_counts,
     "distinct_event_types": q_distinct_event_types,
+    "hourly_type_windows": q_hourly_type_windows,
+    "purchase_asof_signup": q_purchase_asof_signup,
     "customer_revenue": q_customer_revenue,
     "top_customers": q_top_customers,
     "parts_never_early_shipped": q_parts_never_early_shipped,
@@ -917,6 +1023,7 @@ QUERIES = {
     "docs_token_stats": q_docs_token_stats,
     "docs_fingerprint": q_docs_fingerprint,
     "docs_quality": q_docs_quality,
+    "docs_first_word": q_docs_first_word,
     "docs_lang_counts": q_docs_lang_counts,
     "similar_doc_pairs": q_similar_doc_pairs,
     "knn_cosine": q_knn_cosine,
@@ -942,6 +1049,8 @@ ORACLE_SQL = {
     "event_type_stats": SQL_EVENT_TYPE_STATS,
     "daily_type_counts": SQL_DAILY_TYPE,
     "distinct_event_types": SQL_DISTINCT_TYPES,
+    "hourly_type_windows": SQL_HOURLY_WINDOWS,
+    "purchase_asof_signup": SQL_PURCHASE_ASOF_SIGNUP,
     "customer_revenue": SQL_CUSTOMER_REVENUE,
     "top_customers": SQL_TOP_CUSTOMERS,
     "parts_never_early_shipped": SQL_PARTS_NEVER_EARLY,
@@ -953,6 +1062,7 @@ ORACLE_SQL = {
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
     "docs_fingerprint": SQL_DOCS_FINGERPRINT,
     "docs_quality": SQL_DOCS_QUALITY,
+    "docs_first_word": SQL_DOCS_FIRST_WORD,
     "docs_lang_counts": SQL_DOCS_LANG_COUNTS,
     "similar_doc_pairs": SQL_SIMILAR_DOC_PAIRS,
     "knn_cosine": SQL_KNN,

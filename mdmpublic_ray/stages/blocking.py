@@ -30,6 +30,41 @@ SKETCH_K = 160  # bottom-k shingle sketch size; exact Jaccard for docs < k shing
 TITLE_TOKENS = 8
 
 
+# Per-process cache of the seeded permutation family: features runs as
+# stateless TASKS (full-width from the first batch, no actor-pool ramp);
+# the only "state" is (a, b) coefficient arrays, microseconds to build and
+# cached per worker process here.
+_PERM_CACHE: dict = {}
+
+
+def _perms(num_perm: int, seed: int):
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        _PERM_CACHE[key] = H.minhash_permutations(num_perm, seed=seed)
+    return _PERM_CACHE[key]
+
+
+def compute_features_batch(batch: pa.Table, *, seed: int = 42, num_perm: int = NUM_PERM) -> pa.Table:
+    a, b = _perms(num_perm, seed)
+    texts = batch["text"].to_pylist()
+    toks = [T.tokens(t) for t in texts]
+    shingles = [H.shingle_hashes(tk, SHINGLE_K) for tk in toks]
+    sigs = H.minhash_signatures_batch(shingles, a, b)
+    sketches = [np.sort(s)[:SKETCH_K] for s in shingles]
+    titles = [" ".join(tk[:TITLE_TOKENS]) for tk in toks]
+    return pa.table(
+        {
+            "url": batch["url"],
+            "title": pa.array(titles, pa.string()),
+            "n_tokens": pa.array([len(tk) for tk in toks], pa.int64()),
+            "sketch": pa.array([s.tobytes() for s in sketches], pa.binary()),
+            "sig": pa.array(
+                [np.ascontiguousarray(s).tobytes() for s in sigs], pa.binary()
+            ),
+        }
+    )
+
+
 class ComputeFeatures:
     """Actor-pool stage: (url, text, ...) → (url, title, n_tokens,
     sketch: binary, sig: binary).
@@ -66,40 +101,58 @@ class ComputeFeatures:
         )
 
 
-def features_stage(ds, *, concurrency=(2, 8), batch_size: int = 512, seed: int = 42):
+def features_stage(ds, *, concurrency=None, batch_size: int = 512, seed: int = 42):
+    """Stateless task pool by default (see ``compute_features_batch``);
+    pass ``concurrency`` to force an actor pool."""
+    if concurrency is not None:
+        return ds.map_batches(
+            ComputeFeatures,
+            fn_constructor_kwargs={"seed": seed},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    import functools
+
     return ds.map_batches(
-        ComputeFeatures,
-        fn_constructor_kwargs={"seed": seed},
+        functools.partial(compute_features_batch, seed=seed),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
     )
 
 
 def block_keys_stage(features_ds, *, n_bands: int = N_BANDS, use_host_pass: bool = True):
     """features → exploded (block_key, url).
 
-    Pass 1: ``h:<canonical_host>`` — cheap high-recall same-site key.
-    Pass 2: ``b:<band>:<digest>`` LSH band keys from the minhash signature.
+    Pass 1: canonical-host key — cheap high-recall same-site key.
+    Pass 2: LSH band keys from the minhash signature.
+
+    Keys are int64 (fixed-width shuffle keys, see ``lsh_band_ids``): host
+    keys have the 2^62 bit set, band ids don't — the two key spaces can't
+    collide.
     """
+
+    HOST_BIT = 1 << 62
 
     def explode(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         sigs = batch["sig"].to_pylist()
-        out_keys: list[str] = []
+        out_keys: list[int] = []
         out_urls: list[str] = []
         for url, sig_bytes in zip(urls, sigs):
             if use_host_pass:
                 host = canonical_host(url)
                 if host:
-                    out_keys.append(f"h:{host}")
+                    out_keys.append(
+                        (H.stable_u64(host) & 0x3FFF_FFFF_FFFF_FFFF) | HOST_BIT
+                    )
                     out_urls.append(url)
             sig = np.frombuffer(sig_bytes, dtype=np.uint32)
-            out_keys.extend(H.lsh_band_keys(sig, n_bands))
+            out_keys.extend(H.lsh_band_ids(sig, n_bands).tolist())
             out_urls.extend([url] * n_bands)
         return pa.table(
-            {"block_key": pa.array(out_keys, pa.string()), "url": pa.array(out_urls)}
+            {"block_key": pa.array(out_keys, pa.int64()), "url": pa.array(out_urls)}
         )
 
     return features_ds.map_batches(explode, batch_format="pyarrow")

@@ -28,28 +28,123 @@ def _add_bucket(ds, key: str, n_buckets: int):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def dedup_latest(ds, key: str = "url", ts_col: str = "warc_ts", *, n_buckets: int = DEFAULT_BUCKETS):
+# Contested-key routing (see dedup_latest docstring) trades two extra
+# passes over the input for shuffling only duplicated keys' rows. That
+# wins when input re-reads are cheap relative to shuffle (object-storage
+# reads with column pruning on a congested network) and loses locally
+# (measured: +10 s on a 60k-page corpus — page-cache reads are as fast as
+# the shuffle it avoids). Default OFF; callers with dup-heavy inputs on
+# real clusters opt in via ``broadcast_threshold=N``.
+CONTESTED_BROADCAST_THRESHOLD = 0
+
+
+def dedup_latest(
+    ds,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    *,
+    n_buckets: int = DEFAULT_BUCKETS,
+    broadcast_threshold: int = CONTESTED_BROADCAST_THRESHOLD,
+):
     """Keep the row with max ``ts_col`` per ``key`` — re-crawled pages keep
     only the newest crawl (SURVEY.md §2.6 T5; the first shuffle of the ER
-    pipeline). Deterministic tie-break: ties on ts keep the row whose
-    remaining columns sort first (pandas stable sort by [key, ts]).
+    pipeline). Deterministic tie-break on equal ts: the row whose remaining
+    columns sort last wins (full-column lexicographic sort).
 
-    Two phases: (1) per-batch partial dedup inside ``map_batches`` cuts
-    re-crawl duplicates before the shuffle (combiner, SURVEY §4.2);
-    (2) bucketed groupby finishes globally.
-    """
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key, ts_col], kind="mergesort")
-        return df.drop_duplicates(subset=[key], keep="last")
+    Physical plan (size-aware): shuffling FULL page rows (html+text) by
+    key is the naive path and moves the entire input through the object
+    store. Instead: (1) a keys-only aggregate (url → occurrence count +
+    max ts, map-side combined) finds the CONTESTED keys — those seen more
+    than once; (2) rows of uncontested keys stream through untouched
+    (zero shuffle — the common case: most urls have one crawl); (3) only
+    contested rows take the bucketed full-row shuffle. When the contested
+    set exceeds ``broadcast_threshold`` (can't ship to every task), the
+    classic full shuffle runs instead (``broadcast_threshold=0`` forces
+    it — tests do)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key, ts_col], kind="mergesort")
-        return df.drop_duplicates(subset=[key], keep="last").drop(columns=["_bucket"])
+        sort_cols = [key, ts_col] + [
+            c for c in df.columns if c not in (key, ts_col, "_bucket")
+        ]
+        df = df.sort_values(sort_cols, kind="mergesort")
+        out = df.drop_duplicates(subset=[key], keep="last")
+        return out.drop(columns=["_bucket"]) if "_bucket" in out.columns else out
 
-    ds = ds.map_batches(partial, batch_format="pandas")
-    ds = _add_bucket(ds, key, n_buckets)
-    return ds.groupby("_bucket").map_groups(final, batch_format="pandas")
+    def full_shuffle(rows_ds):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            # same total order as `final`, so the combiner can never drop
+            # the globally-winning row on a ts tie
+            sort_cols = [key, ts_col] + [
+                c for c in df.columns if c not in (key, ts_col)
+            ]
+            df = df.sort_values(sort_cols, kind="mergesort")
+            return df.drop_duplicates(subset=[key], keep="last")
+
+        bucketed = _add_bucket(rows_ds.map_batches(partial, batch_format="pandas"), key, n_buckets)
+        return bucketed.groupby("_bucket").map_groups(final, batch_format="pandas")
+
+    if not broadcast_threshold:
+        return full_shuffle(ds)
+
+    # keys-only pass: url → (n occurrences, max ts); combiner inside
+    # map_batches, so the shuffle carries ≤ |distinct keys per batch| rows
+    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False, as_index=False)
+        agg = g.agg(_n=(ts_col, "size"), _mx=(ts_col, "max"))
+        return agg
+
+    stats = (
+        ds.select_columns([key, ts_col])
+        .map_batches(key_partial, batch_format="pandas")
+        .groupby(key)
+        .aggregate(Sum("_n", alias_name="_n"), Max("_mx", alias_name="_mx"))
+    )
+    contested_tbl = stats.map_batches(
+        lambda t: t.filter(pc.greater(t["_n"], 1)).select([key]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_contested = contested_tbl.count()
+    if n_contested > broadcast_threshold:
+        return full_shuffle(ds)
+    if n_contested == 0:
+        return ds
+
+    import ray
+
+    chunks = [b[key] for b in contested_tbl.iter_batches(batch_format="pyarrow")]
+    value_set = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in chunks]) if chunks else pa.array([], pa.string())
+    ref = ray.put(value_set)
+
+    class SplitFilter:
+        def __init__(self, ref, keep_contested: bool):
+            import ray as _ray
+
+            self.value_set = _ray.get(ref)
+            self.keep = keep_contested
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t[key], value_set=self.value_set)
+            if not self.keep:
+                mask = pc.invert(mask)
+            return t.filter(mask)
+
+    def split(keep_contested: bool):
+        return ds.map_batches(
+            SplitFilter,
+            fn_constructor_args=(ref, keep_contested),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+
+    # the shuffle branch yields pandas blocks; the pass-through branch is
+    # arrow — unify to arrow or the downstream batcher asserts
+    deduped_contested = full_shuffle(split(True)).map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False),
+        batch_format="pandas",
+    )
+    return split(False).union(deduped_contested)
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *, n_buckets: int = DEFAULT_BUCKETS):

@@ -22,39 +22,52 @@ import pyarrow as pa
 from ..corpus import extract_text
 
 
-class ExtractText:
-    """Actor-pool callable: pages batch → batch with ``text`` recomputed
-    from ``html``. Output schema: url, warc_ts, text, lang (html dropped)."""
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """pages batch → batch with ``text`` recomputed from ``html``
+    (html dropped). Stateless task — the extractor's only state is the
+    module-level compiled regexes, which every Ray worker already holds
+    after import, so an actor pool would only add spin-up latency
+    (measured: autoscaling pools ramp from 1 actor and cost seconds of
+    under-parallelism per stage; plain tasks start at full width)."""
+    texts = pa.array(
+        [extract_text(h) for h in batch["html"].to_pylist()], pa.string()
+    )
+    return pa.table(
+        {
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "text": texts,
+            "lang": batch["lang"],
+        }
+    )
 
+
+# Back-compat callable-class form (actor pool); the stage uses the task
+# form above by default.
+class ExtractText:
     def __init__(self) -> None:
-        # Touch the compiled patterns once per actor (they live at module
-        # import, this just pins them hot).
         extract_text(b"<p>warm</p>")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = pa.array(
-            [extract_text(h) for h in batch["html"].to_pylist()], pa.string()
-        )
-        return pa.table(
-            {
-                "url": batch["url"],
-                "warc_ts": batch["warc_ts"],
-                "text": texts,
-                "lang": batch["lang"],
-            }
-        )
+        return extract_batch(batch)
 
 
-def extract_stage(ds, *, batch_size: int = 256, concurrency=(2, 8)):
+def extract_stage(ds, *, batch_size: int = 256, concurrency=None):
     """pages(url, warc_ts, html, text?, lang) → (url, warc_ts, text, lang).
 
     Small batch_size: a batch holds ``batch_size`` raw HTML payloads in
     worker heap (web pages are tens of KB; 256 × 50 KB ≈ 13 MB per batch).
+    Stateless task pool (see ``extract_batch``); pass ``concurrency`` to
+    force an actor pool instead.
     """
+    if concurrency is not None:
+        return ds.map_batches(
+            ExtractText,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return ds.map_batches(
-        ExtractText,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
+        extract_batch, batch_format="pyarrow", batch_size=batch_size
     )

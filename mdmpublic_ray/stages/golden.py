@@ -19,44 +19,123 @@ from ..functions.hashing import crc32_array
 from .util import DEFAULT_BUCKETS  # noqa: F401
 
 
-def golden_records(clusters_ds, pages_ds, *, num_partitions: int | None = None, n_buckets: int = DEFAULT_BUCKETS):
+# Below this many deduped pages the slim survivorship fields are broadcast
+# (ray.put once) and attached in a map — one shuffle (the cluster_id
+# groupby) instead of two. Same size-aware plan selection as scoring.
+GOLDEN_BROADCAST_THRESHOLD = 200_000
+
+
+def golden_records(
+    clusters_ds,
+    pages_ds,
+    *,
+    num_partitions: int | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    broadcast_threshold: int = GOLDEN_BROADCAST_THRESHOLD,
+):
     """clusters(url, cluster_id) ⋈ deduped pages → golden records.
 
     Output: (cluster_id, canonical_url, n_members, langs, max_warc_ts,
     text_len). Uses the bucketed-groupby pattern (see dedup.py) so Python
-    overhead is O(buckets), not O(clusters).
+    overhead is O(buckets), not O(clusters). ``broadcast_threshold=0``
+    forces the two-shuffle join path (tests compare both).
     """
     from .util import bucketed_join, default_partitions
 
     num_partitions = num_partitions or default_partitions()
-    enriched = bucketed_join(
-        clusters_ds, pages_ds, "url", "url", n_buckets=num_partitions
+    # Project pages to the survivorship fields BEFORE any shuffle: the
+    # text column (the bulk of a page row) reduces to its length here, so
+    # neither the join nor the cluster groupby ever moves document text
+    # (same principle as dropping `html` right after extraction).
+    slim = pages_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "purl": t["url"],
+                "warc_ts": t["warc_ts"],
+                "lang": t["lang"],
+                "text_len": pa.compute.cast(
+                    pa.compute.utf8_length(t["text"]), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
+    if broadcast_threshold and pages_ds.count() <= broadcast_threshold:
+        import ray
+
+        cols = {"purl": [], "warc_ts": [], "lang": [], "text_len": []}
+        for b in slim.iter_batches(batch_format="pyarrow"):
+            for c in cols:
+                cols[c].extend(b[c].to_pylist())
+        lookup = {
+            u: (ts, lg, tl)
+            for u, ts, lg, tl in zip(
+                cols["purl"], cols["warc_ts"], cols["lang"], cols["text_len"]
+            )
+        }
+        ref = ray.put(lookup)
+
+        def attach(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            lk = _ray.get(ref)
+            urls = t["url"].to_pylist()
+            rows = [lk[u] for u in urls]
+            return pa.table(
+                {
+                    "url": t["url"],
+                    "cluster_id": t["cluster_id"],
+                    "warc_ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "lang": pa.array([r[1] for r in rows], pa.string()),
+                    "text_len": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            )
+
+        enriched = clusters_ds.map_batches(attach, batch_format="pyarrow")
+    else:
+        enriched = bucketed_join(
+            clusters_ds, slim, "url", "purl", n_buckets=num_partitions
+        )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = crc32_array(batch["cluster_id"].to_pylist()) % np.uint32(n_buckets)
         return batch.append_column("_bucket", pa.array(b.astype(np.int32)))
 
     def survive(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for cid, g in df.groupby("cluster_id", sort=False):
-            # canonical: max warc_ts, tie-break min url (stable sort)
-            g = g.sort_values(["warc_ts", "url"], ascending=[False, True],
-                              kind="mergesort")
-            top = g.iloc[0]
-            rows.append(
-                {
-                    "cluster_id": cid,
-                    "canonical_url": top["url"],
-                    "n_members": len(g),
-                    "langs": ",".join(sorted(set(g["lang"]))),
-                    "max_warc_ts": g["warc_ts"].max(),
-                    "text_len": len(top["text"]),
-                }
-            )
+        """Vectorized survivorship: one sort + drop_duplicates picks every
+        cluster's canonical member at once (a per-cluster Python loop was
+        ~0.4 ms/cluster — 8 s for 18k clusters at one bucket width)."""
         cols = ["cluster_id", "canonical_url", "n_members", "langs",
                 "max_warc_ts", "text_len"]
-        return pd.DataFrame(rows, columns=cols)
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        # canonical: max warc_ts, tie-break min url → first row per
+        # cluster after a stable (warc_ts desc, url asc) sort
+        s = df.sort_values(["warc_ts", "url"], ascending=[False, True],
+                           kind="mergesort")
+        top = s.drop_duplicates(subset=["cluster_id"], keep="first").set_index(
+            "cluster_id"
+        )
+        g = df.groupby("cluster_id", sort=False)
+        langs = (
+            df[["cluster_id", "lang"]]
+            .drop_duplicates()
+            .sort_values(["cluster_id", "lang"], kind="mergesort")
+            .groupby("cluster_id", sort=False)["lang"]
+            .agg(",".join)
+        )
+        idx = top.index
+        out = pd.DataFrame(
+            {
+                "cluster_id": idx.to_numpy(),
+                "canonical_url": top["url"].to_numpy(),
+                "n_members": g.size().reindex(idx).to_numpy().astype("int64"),
+                "langs": langs.reindex(idx).to_numpy(),
+                "max_warc_ts": g["warc_ts"].max().reindex(idx).to_numpy(),
+                "text_len": top["text_len"].to_numpy().astype("int64"),
+            }
+        )
+        return out[cols].reset_index(drop=True)
 
     return (
         enriched.map_batches(add_bucket, batch_format="pyarrow")

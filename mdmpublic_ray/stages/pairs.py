@@ -42,9 +42,7 @@ def candidate_pairs(
     several keys (host + multiple LSH bands) is emitted once.
     """
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        b = crc32_array(batch["block_key"].to_pylist()) % np.uint32(n_buckets)
-        return batch.append_column("_bucket", pa.array(b.astype(np.int32)))
+    from .util import add_bucket as util_add_bucket
 
     def gen(df: pd.DataFrame) -> pd.DataFrame:
         out_a: list[np.ndarray] = []
@@ -67,7 +65,7 @@ def candidate_pairs(
         return res.drop_duplicates()
 
     pairs = (
-        blocks_ds.map_batches(add_bucket, batch_format="pyarrow")
+        util_add_bucket(blocks_ds, "block_key", n_buckets)
         .groupby("_bucket")
         .map_groups(gen, batch_format="pandas")
     )

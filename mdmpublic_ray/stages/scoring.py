@@ -109,8 +109,8 @@ def score_pairs(
             batch["url_b"].to_pylist(),
             batch["title_a"].to_pylist(),
             batch["title_b"].to_pylist(),
-            batch["sketch_a"].to_pylist(),
-            batch["sketch_b"].to_pylist(),
+            [np.frombuffer(s, dtype=np.uint64) for s in batch["sketch_a"].to_pylist()],
+            [np.frombuffer(s, dtype=np.uint64) for s in batch["sketch_b"].to_pylist()],
             threshold,
             sketch_k,
         )
@@ -119,16 +119,13 @@ def score_pairs(
 
 
 def _score_kernel(ua, ub, ta, tb, sa, sb, threshold: float, sketch_k: int) -> pa.Table:
+    """``sa``/``sb``: per-pair uint64 sketch arrays (views are fine)."""
     n = len(ua)
     jac = np.empty(n, dtype=np.float64)
     jwt = np.empty(n, dtype=np.float64)
     jwu = np.empty(n, dtype=np.float64)
     for i in range(n):
-        jac[i] = sketch_jaccard(
-            np.frombuffer(sa[i], dtype=np.uint64),
-            np.frombuffer(sb[i], dtype=np.uint64),
-            sketch_k,
-        )
+        jac[i] = sketch_jaccard(sa[i], sb[i], sketch_k)
         jwt[i] = jaro_winkler(ta[i], tb[i])
         jwu[i] = jaro_winkler(ua[i], ub[i])
     sc = W_JACCARD * jac + W_TITLE * jwt + W_URL * jwu
@@ -145,51 +142,77 @@ def _score_kernel(ua, ub, ta, tb, sa, sb, threshold: float, sketch_k: int) -> pa
     )
 
 
-class _BroadcastScorer:
-    """Actor: features dict from the object store (once per actor, ST5
-    pattern), per-batch pair lookup + shared scoring kernel."""
+# Per-worker-process cache of the broadcast feature index, keyed by the
+# object ref hex. Scoring runs as stateless TASKS (full-width instantly,
+# no actor-pool ramp); each worker builds the url→row index once on first
+# touch. The sketch payload is one contiguous uint64 matrix — ray.get
+# maps it ZERO-COPY from shared memory per node (a dict of per-url tuples
+# would be re-pickled per worker: measured ~45 MB × pool size of pure
+# unpickle overhead).
+_FEAT_CACHE: dict = {}
 
-    def __init__(self, features_ref, threshold: float, sketch_k: int):
+
+def _feat_index(features_ref):
+    key = features_ref.hex()
+    if key not in _FEAT_CACHE:
         import ray
 
-        self.feat = ray.get(features_ref)  # url -> (title, sketch_bytes)
-        self.threshold = threshold
-        self.sketch_k = sketch_k
+        urls, titles, mat, lens = ray.get(features_ref)
+        _FEAT_CACHE.clear()  # one live broadcast per worker is plenty
+        _FEAT_CACHE[key] = ({u: i for i, u in enumerate(urls)}, titles, mat, lens)
+    return _FEAT_CACHE[key]
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ua = batch["url_a"].to_pylist()
-        ub = batch["url_b"].to_pylist()
-        fa = [self.feat[u] for u in ua]
-        fb = [self.feat[u] for u in ub]
-        return _score_kernel(
-            ua,
-            ub,
-            [f[0] for f in fa],
-            [f[0] for f in fb],
-            [f[1] for f in fa],
-            [f[1] for f in fb],
-            self.threshold,
-            self.sketch_k,
-        )
+
+def _score_broadcast_batch(
+    batch: pa.Table, features_ref, threshold: float, sketch_k: int
+) -> pa.Table:
+    idx, titles, mat, lens = _feat_index(features_ref)
+    ua = batch["url_a"].to_pylist()
+    ub = batch["url_b"].to_pylist()
+    ia = [idx[u] for u in ua]
+    ib = [idx[u] for u in ub]
+    return _score_kernel(
+        ua,
+        ub,
+        [titles[i] for i in ia],
+        [titles[i] for i in ib],
+        [mat[i, : lens[i]] for i in ia],
+        [mat[i, : lens[i]] for i in ib],
+        threshold,
+        sketch_k,
+    )
 
 
 def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int):
     import ray
 
-    feat: dict[str, tuple] = {}
+    urls: list[str] = []
+    titles: list[str] = []
+    sketch_rows: list[bytes] = []
     for b in features_ds.select_columns(["url", "title", "sketch"]).iter_batches(
         batch_format="pyarrow"
     ):
-        for u, t, s in zip(
-            b["url"].to_pylist(), b["title"].to_pylist(), b["sketch"].to_pylist()
-        ):
-            feat[u] = (t, s)
-    ref = ray.put(feat)
+        urls.extend(b["url"].to_pylist())
+        titles.extend(b["title"].to_pylist())
+        sketch_rows.extend(b["sketch"].to_pylist())
+    n = len(urls)
+    lens = np.array([len(s) // 8 for s in sketch_rows], dtype=np.int64)
+    mat = np.zeros((n, sketch_k), dtype=np.uint64)
+    for i, s in enumerate(sketch_rows):
+        row = np.frombuffer(s, dtype=np.uint64)
+        mat[i, : row.size] = row
+    import functools
+
+    ref = ray.put((urls, titles, mat, lens))
     return pairs_ds.map_batches(
-        _BroadcastScorer,
-        fn_constructor_args=(ref, threshold, sketch_k),
+        functools.partial(
+            _score_broadcast_batch,
+            features_ref=ref,
+            threshold=threshold,
+            sketch_k=sketch_k,
+        ),
         batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=(1, 8),
-        num_cpus=1,
+        # 2048 (not 8192): pair batches are tiny rows; smaller batches keep
+        # every worker busy on modest pair counts
+        batch_size=2048,
     )

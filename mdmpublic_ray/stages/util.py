@@ -28,6 +28,21 @@ def default_partitions(cap: int = 32) -> int:
     return max(2, min(cap, cpus))
 
 
+def default_actor_pool(min_actors: int = 1) -> tuple[int, int]:
+    """Actor-pool concurrency sized to the CLUSTER: (min, total CPUs).
+    A fixed (2, 8) cap silently serializes a 32-CPU node to 8 workers —
+    the anti-scaling bug the first scaling bench exposed (efficiency
+    0.23: 32 CPUs no faster than 8). Ray autoscales the pool between the
+    bounds, so idle actors cost nothing on small inputs."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (min_actors, max(4, cpus))
+
+
 def adaptive_partitions(n_rows: int, cap: int, *, rows_per_partition: int = 50_000) -> int:
     """Shuffle width sized to the DATA, bounded by the cluster cap: a
     6k-row label table shuffled 32 ways is pure latency (32 groups × 3

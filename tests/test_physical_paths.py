@@ -41,6 +41,52 @@ def test_broadcast_and_shuffle_scoring_agree(ray_session, small_er):
     pd.testing.assert_frame_equal(fast, slow)
 
 
+def test_dedup_broadcast_and_full_shuffle_agree(ray_session, corpus_dir):
+    import ray.data as rd
+
+    from mdmpublic_ray.stages.dedup import dedup_latest
+
+    pages = rd.read_parquet(f"{corpus_dir}/pages.parquet")
+
+    def canon(ds) -> pd.DataFrame:
+        return (
+            ds.to_pandas()
+            .sort_values("url", kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    fast = canon(
+        dedup_latest(
+            pages, "url", "warc_ts", n_buckets=16, broadcast_threshold=1_000_000
+        )
+    )
+    slow = canon(
+        dedup_latest(pages, "url", "warc_ts", n_buckets=16, broadcast_threshold=0)
+    )
+    assert fast["url"].is_unique
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_golden_broadcast_and_join_agree(ray_session, small_er):
+    from mdmpublic_ray.stages.golden import golden_records
+
+    clusters = small_er["clusters"].materialize()
+    deduped = small_er["deduped"].materialize()
+
+    def canon(ds) -> pd.DataFrame:
+        return (
+            ds.to_pandas()
+            .sort_values("cluster_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    fast = canon(golden_records(clusters, deduped, num_partitions=8))
+    slow = canon(
+        golden_records(clusters, deduped, num_partitions=8, broadcast_threshold=0)
+    )
+    pd.testing.assert_frame_equal(fast, slow)
+
+
 def test_local_and_distributed_cc_agree(ray_session, small_er):
     from mdmpublic_ray.stages.cluster import connected_components
 
