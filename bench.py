@@ -148,11 +148,29 @@ def _scaling_child(ncpu: int) -> None:
     n_scored = out["scored"].count()
     n_golden = out["golden"].count()
     wall = time.monotonic() - t0
+
+    # compute-section measure: the embarrassingly-parallel stages
+    # (feature extraction + blocking + candidate generation) in isolation.
+    # On a real N→4N node cluster the shuffle fabric scales with nodes;
+    # on ONE machine the object store and memory bus are shared across
+    # any num_cpus, so the all-to-all floor is cpu-count-invariant
+    # (measured in BASELINE.md §3) and only this section can show
+    # hardware-limited scaling.
+    from mdmpublic_ray.stages.blocking import block_keys_stage, features_stage
+    from mdmpublic_ray.stages.pairs import candidate_pairs
+
+    deduped = out["deduped"]
+    t0 = time.monotonic()
+    feats = features_stage(deduped).materialize()
+    n_pairs = candidate_pairs(block_keys_stage(feats)).count()
+    compute_wall = time.monotonic() - t0
+
     print(
         json.dumps(
             {
                 "num_cpus": ncpu,
                 "wall_sec": round(wall, 3),
+                "compute_section_sec": round(compute_wall, 3),
                 "pages": n_pages,
                 "input_mb": round(in_bytes / 1e6, 1),
                 "pairs_scored": n_scored,
@@ -185,7 +203,9 @@ def _scaling() -> None:
         )
         out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
     t8, t32 = out[8]["wall_sec"], out[32]["wall_sec"]
+    c8, c32 = out[8]["compute_section_sec"], out[32]["compute_section_sec"]
     eff = (t8 / t32) / (32 / 8)
+    eff_c = (c8 / c32) / (32 / 8)
     print(
         json.dumps(
             {
@@ -199,7 +219,16 @@ def _scaling() -> None:
                 "throughput_32_rows_per_sec": out[32]["rows_per_sec"],
                 "pairs_per_sec_32": out[32]["pairs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "compute_section_sec_8": c8,
+                "compute_section_sec_32": c32,
+                "compute_section_efficiency": round(eff_c, 3),
                 "target": 0.8,
+                "note": (
+                    "single machine: the object store / memory bus is shared at "
+                    "any num_cpus, so all-to-all stages have a cpu-count-"
+                    "invariant floor; compute stages show the node-scalable "
+                    "part. See BASELINE.md §3."
+                ),
             }
         )
     )

@@ -41,6 +41,9 @@ class ERConfig:
     extract_concurrency: tuple | None = None
     features_concurrency: tuple | None = None
     max_cc_rounds: int = 15
+    # hot-host skew salting (north_rule): hosts with more pages than
+    # max_block_size are split into salted sub-blocks (see blocking.py)
+    salt_hot_hosts: bool = True
     checkpoint_dir: str | None = None  # per-stage parquet + manifests
     run_id: str = "run0"
     stage_overrides: dict = field(default_factory=dict)
@@ -107,7 +110,20 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         ),
         parents=("deduped",),
     )
-    blocks = stage("blocks", lambda: block_keys_stage(features), parents=("features",))
+    hot_hosts: dict = {}
+    if cfg.salt_hot_hosts:
+        from ..stages.blocking import hot_host_sizes
+
+        hot_hosts = hot_host_sizes(
+            deduped.select_columns(["url"]), cfg.max_block_size
+        )
+    blocks = stage(
+        "blocks",
+        lambda: block_keys_stage(
+            features, hot_hosts=hot_hosts, max_block_size=cfg.max_block_size
+        ),
+        parents=("features",),
+    )
     pairs = stage(
         "pairs",
         lambda: candidate_pairs(

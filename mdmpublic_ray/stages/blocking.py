@@ -122,7 +122,59 @@ def features_stage(ds, *, concurrency=None, batch_size: int = 512, seed: int = 4
     )
 
 
-def block_keys_stage(features_ds, *, n_bands: int = N_BANDS, use_host_pass: bool = True):
+HOST_BIT = 1 << 62
+_KEY_MASK = 0x3FFF_FFFF_FFFF_FFFF
+_SALT_MIX = 0x9E3779B97F4A7C15  # golden-ratio odd constant
+
+
+def hot_host_sizes(urls_ds, max_block_size: int, *, driver_cap: int = 100_000) -> dict:
+    """Skew pre-pass (north_rule "explicit skew-aware salting of hot
+    blocks"): canonical-host → row count, for hosts EXCEEDING
+    ``max_block_size``. Counts are map-side combined, the aggregate
+    shuffles ≤ |hosts per batch| rows, and only the hot tail reaches the
+    driver — bounded by total_rows / max_block_size, in practice a
+    handful (``driver_cap`` guards the pathological case; overflow is
+    logged, overflowing hosts simply stay capped instead of salted)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        hosts = [canonical_host(u) or "" for u in t["url"].to_pylist()]
+        s = pd.Series(hosts).value_counts()
+        return pa.table(
+            {"host": s.index.to_numpy().astype(str), "n": s.to_numpy().astype("int64")}
+        )
+
+    agg = (
+        urls_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hot_tbl = agg.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n"], max_block_size)),
+        batch_format="pyarrow",
+    ).take_all()
+    if len(hot_tbl) > driver_cap:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "hot_host_sizes: %d hot hosts exceeds driver_cap=%d; the tail "
+            "stays capped (not salted)",
+            len(hot_tbl),
+            driver_cap,
+        )
+        hot_tbl = sorted(hot_tbl, key=lambda r: -r["n"])[:driver_cap]
+    return {r["host"]: int(r["n"]) for r in hot_tbl if r["host"]}
+
+
+def block_keys_stage(
+    features_ds,
+    *,
+    n_bands: int = N_BANDS,
+    use_host_pass: bool = True,
+    hot_hosts: dict | None = None,
+    max_block_size: int = 256,
+):
     """features → exploded (block_key, url).
 
     Pass 1: canonical-host key — cheap high-recall same-site key.
@@ -131,9 +183,17 @@ def block_keys_stage(features_ds, *, n_bands: int = N_BANDS, use_host_pass: bool
     Keys are int64 (fixed-width shuffle keys, see ``lsh_band_ids``): host
     keys have the 2^62 bit set, band ids don't — the two key spaces can't
     collide.
-    """
 
-    HOST_BIT = 1 << 62
+    **Skew-aware salting**: a host in ``hot_hosts`` (size from the
+    ``hot_host_sizes`` pre-pass) is split into ``ceil(size /
+    max_block_size)`` salted sub-blocks by ``crc32(url) % g``, the salt
+    mixed INTO the int64 key — so the downstream shuffle sees g
+    even-sized keys instead of one giant one (balanced reducers), pair
+    cost per sub-block stays O(max_block_size²), and no downstream code
+    changes. Cross-salt same-host pairs are not emitted; true
+    near-duplicates split across salts are still paired by the LSH pass,
+    whose keys depend on content, not host."""
+    hot = hot_hosts or {}
 
     def explode(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -144,9 +204,15 @@ def block_keys_stage(features_ds, *, n_bands: int = N_BANDS, use_host_pass: bool
             if use_host_pass:
                 host = canonical_host(url)
                 if host:
-                    out_keys.append(
-                        (H.stable_u64(host) & 0x3FFF_FFFF_FFFF_FFFF) | HOST_BIT
-                    )
+                    key = (H.stable_u64(host) & _KEY_MASK) | HOST_BIT
+                    size = hot.get(host)
+                    if size:
+                        g = -(-size // max_block_size)  # ceil
+                        salt = H.stable_u32(url) % g
+                        key = (
+                            (key ^ ((salt + 1) * _SALT_MIX)) & _KEY_MASK
+                        ) | HOST_BIT
+                    out_keys.append(key)
                     out_urls.append(url)
             sig = np.frombuffer(sig_bytes, dtype=np.uint32)
             out_keys.extend(H.lsh_band_ids(sig, n_bands).tolist())

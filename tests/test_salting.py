@@ -1,0 +1,107 @@
+"""Skew-aware salting of hot host blocks (north_rule): the hot-host
+pre-pass finds oversized hosts, salted sub-block keys bound every block's
+size, and clustering output is unchanged (LSH carries near-dup recall
+across salt boundaries)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def skew_corpus(ray_session, tmp_path_factory):
+    from mdmpublic_ray.corpus import write_corpus
+
+    d = str(tmp_path_factory.mktemp("skew") / "corpus")
+    # hot_host_frac 0.5 → big-portal owns ~half of all pages
+    return write_corpus(d, n_clusters=60, seed=7, hot_host_frac=0.5)
+
+
+def test_hot_host_pre_pass_finds_the_hot_host(ray_session, skew_corpus):
+    import ray.data as rd
+
+    from mdmpublic_ray.stages.blocking import hot_host_sizes
+    from mdmpublic_ray.stages.dedup import dedup_latest
+
+    pages = rd.read_parquet(skew_corpus["pages"])
+    deduped = dedup_latest(pages, "url", "warc_ts", n_buckets=16)
+    hot = hot_host_sizes(deduped.select_columns(["url"]), max_block_size=40)
+    assert "big-portal.example" in hot
+    assert hot["big-portal.example"] > 40
+    # normal sites are far below the threshold
+    assert all(h == "big-portal.example" for h in hot)
+
+
+def test_salting_bounds_block_sizes_and_preserves_clusters(ray_session, skew_corpus):
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er import ERConfig, pairwise_metrics, run_er
+
+    pages = rd.read_parquet(skew_corpus["pages"])
+    cap = 40
+    salted = run_er(
+        pages, ERConfig(num_partitions=8, n_buckets=16, max_block_size=cap)
+    )
+    stats = salted["block_stats"].to_pandas()
+    # every block (host sub-blocks included) is bounded by the cap plus
+    # hash-split slack
+    assert stats["n_members"].max() <= 2 * cap, stats.sort_values(
+        "n_members"
+    ).tail()
+
+    unsalted = run_er(
+        pages,
+        ERConfig(
+            num_partitions=8, n_buckets=16, max_block_size=cap, salt_hot_hosts=False
+        ),
+    )
+
+    def clusters_of(out) -> set:
+        df = out["clusters"].to_pandas()
+        return set(df.groupby("cluster_id")["url"].apply(frozenset))
+
+    # same partition either way: salting only redistributes candidate
+    # generation; true matches still pair via LSH
+    assert clusters_of(salted) == clusters_of(unsalted)
+
+    # and the planted truth holds at F1 == 1.0 with salting on
+    labels = rd.read_parquet(skew_corpus["labels"])
+    m = pairwise_metrics(salted["clusters"], labels, num_partitions=8)
+    assert m["f1"] == 1.0, m
+
+
+def test_salted_host_emits_pairs_capped_host_does_not(ray_session, skew_corpus):
+    """With salting, the hot host contributes same-host candidate pairs
+    (bounded); with plain capping it contributes none from the host pass."""
+    import ray.data as rd
+
+    from mdmpublic_ray.stages.blocking import (
+        block_keys_stage,
+        features_stage,
+        hot_host_sizes,
+    )
+    from mdmpublic_ray.stages.dedup import dedup_latest
+    from mdmpublic_ray.stages.extract import extract_stage
+    from mdmpublic_ray.stages.pairs import candidate_pairs
+
+    pages = rd.read_parquet(skew_corpus["pages"])
+    deduped = extract_stage(dedup_latest(pages, "url", "warc_ts", n_buckets=16)).materialize()
+    features = features_stage(deduped).materialize()
+    cap = 40
+    hot = hot_host_sizes(deduped.select_columns(["url"]), cap)
+
+    def host_pairs(blocks) -> int:
+        p = candidate_pairs(blocks, max_block_size=cap, n_buckets=16).to_pandas()
+        same_host = p[
+            p["url_a"].str.contains("big-portal") & p["url_b"].str.contains("big-portal")
+        ]
+        return len(same_host)
+
+    salted = block_keys_stage(features, hot_hosts=hot, max_block_size=cap)
+    unsalted = block_keys_stage(features, hot_hosts=None, max_block_size=cap)
+    n_salted = host_pairs(salted)
+    n_unsalted = host_pairs(unsalted)
+    # unsalted: big-portal block exceeds the cap → only LSH pairs remain;
+    # salted sub-blocks add bounded same-host candidates on top
+    assert n_salted > n_unsalted
