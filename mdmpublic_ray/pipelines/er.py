@@ -205,11 +205,12 @@ def _empty_outputs() -> dict:
     f = pa.float64()
     return {
         "deduped": t([("url", s), ("warc_ts", pa.timestamp("us")), ("text", s), ("lang", s)]),
-        "features": t([("url", s), ("title", s), ("n_tokens", pa.int64()),
-                       ("sketch", pa.binary()), ("sig", pa.binary())]),
-        "blocks": t([("block_key", pa.int64()), ("url", s)]),
+        "features": t([("url", s), ("uid", pa.int64()), ("title", s),
+                       ("n_tokens", pa.int64()), ("sketch", pa.binary()),
+                       ("sig", pa.binary())]),
+        "blocks": t([("block_key", pa.int64()), ("uid", pa.int64())]),
         "block_stats": t([("block_key", pa.int64()), ("n_members", pa.int64())]),
-        "pairs": t([("url_a", s), ("url_b", s)]),
+        "pairs": t([("uid_a", pa.int64()), ("uid_b", pa.int64())]),
         "scored": t([("url_a", s), ("url_b", s), ("jaccard", f), ("jw_title", f),
                      ("jw_url", f), ("score", f), ("is_match", pa.bool_())]),
         "edges": t([("url_a", s), ("url_b", s)]),

@@ -44,8 +44,19 @@ def _perms(num_perm: int, seed: int):
     return _PERM_CACHE[key]
 
 
+def doc_uid(url: str) -> int:
+    """Stable int64 document id from the url (top bit masked off). Blocks
+    and candidate pairs shuffle these 8-byte ids instead of ~50-byte url
+    strings (~3× lighter exchange, integer-speed sort/dedup); urls are
+    resolved back from the features table at scoring time. 64-bit
+    collision odds are nil at sandbox scale; a 10^12-document deployment
+    upgrades to 128-bit ids (two int64 columns) — same layout."""
+    return H.stable_u64(url) & 0x7FFF_FFFF_FFFF_FFFF
+
+
 def compute_features_batch(batch: pa.Table, *, seed: int = 42, num_perm: int = NUM_PERM) -> pa.Table:
     a, b = _perms(num_perm, seed)
+    urls = batch["url"].to_pylist()
     texts = batch["text"].to_pylist()
     toks = [T.tokens(t) for t in texts]
     shingles = [H.shingle_hashes(tk, SHINGLE_K) for tk in toks]
@@ -55,6 +66,7 @@ def compute_features_batch(batch: pa.Table, *, seed: int = 42, num_perm: int = N
     return pa.table(
         {
             "url": batch["url"],
+            "uid": pa.array([doc_uid(u) for u in urls], pa.int64()),
             "title": pa.array(titles, pa.string()),
             "n_tokens": pa.array([len(tk) for tk in toks], pa.int64()),
             "sketch": pa.array([s.tobytes() for s in sketches], pa.binary()),
@@ -82,23 +94,10 @@ class ComputeFeatures:
 
     def __init__(self, num_perm: int = NUM_PERM, seed: int = 42) -> None:
         self.a, self.b = H.minhash_permutations(num_perm, seed=seed)
+        self._seed = seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        toks = [T.tokens(t) for t in texts]
-        shingles = [H.shingle_hashes(tk, SHINGLE_K) for tk in toks]
-        sigs = H.minhash_signatures_batch(shingles, self.a, self.b)
-        sketches = [np.sort(s)[:SKETCH_K] for s in shingles]
-        titles = [" ".join(tk[:TITLE_TOKENS]) for tk in toks]
-        return pa.table(
-            {
-                "url": batch["url"],
-                "title": pa.array(titles, pa.string()),
-                "n_tokens": pa.array([len(tk) for tk in toks], pa.int64()),
-                "sketch": pa.array([s.tobytes() for s in sketches], pa.binary()),
-                "sig": pa.array([np.ascontiguousarray(s).tobytes() for s in sigs], pa.binary()),
-            }
-        )
+        return compute_features_batch(batch, seed=self._seed)
 
 
 def features_stage(ds, *, concurrency=None, batch_size: int = 512, seed: int = 42):
@@ -175,7 +174,7 @@ def block_keys_stage(
     hot_hosts: dict | None = None,
     max_block_size: int = 256,
 ):
-    """features → exploded (block_key, url).
+    """features → exploded (block_key, uid).
 
     Pass 1: canonical-host key — cheap high-recall same-site key.
     Pass 2: LSH band keys from the minhash signature.
@@ -197,10 +196,11 @@ def block_keys_stage(
 
     def explode(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
+        uids = batch["uid"].to_pylist()
         sigs = batch["sig"].to_pylist()
         out_keys: list[int] = []
-        out_urls: list[str] = []
-        for url, sig_bytes in zip(urls, sigs):
+        out_uids: list[int] = []
+        for url, uid, sig_bytes in zip(urls, uids, sigs):
             if use_host_pass:
                 host = canonical_host(url)
                 if host:
@@ -213,12 +213,12 @@ def block_keys_stage(
                             (key ^ ((salt + 1) * _SALT_MIX)) & _KEY_MASK
                         ) | HOST_BIT
                     out_keys.append(key)
-                    out_urls.append(url)
+                    out_uids.append(uid)
             sig = np.frombuffer(sig_bytes, dtype=np.uint32)
             out_keys.extend(H.lsh_band_ids(sig, n_bands).tolist())
-            out_urls.extend([url] * n_bands)
+            out_uids.extend([uid] * n_bands)
         return pa.table(
-            {"block_key": pa.array(out_keys, pa.int64()), "url": pa.array(out_urls)}
+            {"block_key": pa.array(out_keys, pa.int64()), "uid": pa.array(out_uids, pa.int64())}
         )
 
     return features_ds.map_batches(explode, batch_format="pyarrow")

@@ -37,6 +37,7 @@ class _DocFeatures:
         return pa.table(
             {
                 "doc_key": pa.array([str(i) for i in ids], pa.string()),
+                "uid": pa.array([int(i) for i in ids], pa.int64()),
                 "sketch": pa.array(
                     [np.sort(s)[:SKETCH_K].tobytes() for s in shingles], pa.binary()
                 ),
@@ -56,12 +57,14 @@ def near_dup_clusters(sf_dir: str, *, threshold: float = 0.6, num_partitions=Non
     ).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys, urls = [], []
-        for dk, sig_b in zip(batch["doc_key"].to_pylist(), batch["sig"].to_pylist()):
+        keys, uids = [], []
+        for uid, sig_b in zip(batch["uid"].to_pylist(), batch["sig"].to_pylist()):
             sig = np.frombuffer(sig_b, dtype=np.uint32)
-            keys.extend(H.lsh_band_keys(sig, N_BANDS))
-            urls.extend([dk] * N_BANDS)
-        return pa.table({"block_key": pa.array(keys), "url": pa.array(urls)})
+            keys.extend(H.lsh_band_ids(sig, N_BANDS).tolist())
+            uids.extend([uid] * N_BANDS)
+        return pa.table(
+            {"block_key": pa.array(keys, pa.int64()), "uid": pa.array(uids, pa.int64())}
+        )
 
     blocks = feats.map_batches(explode, batch_format="pyarrow")
     pairs = candidate_pairs(blocks).materialize()
@@ -72,23 +75,24 @@ def near_dup_clusters(sf_dir: str, *, threshold: float = 0.6, num_partitions=Non
         from .util import bucketed_join
 
         fa = feats.map_batches(
-            lambda t: pa.table({"ka": t["doc_key"], "sketch_a": t["sketch"]}),
+            lambda t: pa.table({"ka": t["uid"], "sketch_a": t["sketch"]}),
             batch_format="pyarrow",
         )
         fb = feats.map_batches(
-            lambda t: pa.table({"kb": t["doc_key"], "sketch_b": t["sketch"]}),
+            lambda t: pa.table({"kb": t["uid"], "sketch_b": t["sketch"]}),
             batch_format="pyarrow",
         )
         joined = bucketed_join(
-            bucketed_join(pairs, fa, "url_a", "ka", n_buckets=P),
+            bucketed_join(pairs, fa, "uid_a", "ka", n_buckets=P),
             fb,
-            "url_b",
+            "uid_b",
             "kb",
             n_buckets=P,
         )
 
         def verify(t: pa.Table) -> pa.Table:
-            ua, ub = t["url_a"].to_pylist(), t["url_b"].to_pylist()
+            ua = [str(u) for u in t["uid_a"].to_pylist()]
+            ub = [str(u) for u in t["uid_b"].to_pylist()]
             sa, sb = t["sketch_a"].to_pylist(), t["sketch_b"].to_pylist()
             keep_a, keep_b = [], []
             for i in range(len(ua)):

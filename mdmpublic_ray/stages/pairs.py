@@ -36,9 +36,10 @@ def candidate_pairs(
     max_block_size: int = DEFAULT_MAX_BLOCK,
     n_buckets: int = DEFAULT_BUCKETS,
 ):
-    """blocks(block_key, url) → pairs(url_a, url_b) deduped.
+    """blocks(block_key, uid) → pairs(uid_a, uid_b) deduped.
 
-    url_a < url_b lexically (stable pair identity). A pair discovered by
+    uid_a < uid_b numerically (stable pair identity; urls are resolved
+    back from the features table at scoring). A pair discovered by
     several keys (host + multiple LSH bands) is emitted once.
     """
 
@@ -51,16 +52,19 @@ def candidate_pairs(
             n = len(g)
             if n < 2 or n > max_block_size:
                 continue
-            urls = np.sort(g["url"].to_numpy())
+            uids = np.unique(g["uid"].to_numpy())  # sorted; dup keys safe
+            n = uids.size
+            if n < 2:
+                continue
             ii, jj = np.triu_indices(n, k=1)
-            out_a.append(urls[ii])
-            out_b.append(urls[jj])
+            out_a.append(uids[ii])
+            out_b.append(uids[jj])
         if not out_a:
-            return pd.DataFrame({"url_a": pd.Series([], dtype=str),
-                                 "url_b": pd.Series([], dtype=str)})
+            return pd.DataFrame({"uid_a": pd.Series([], dtype="int64"),
+                                 "uid_b": pd.Series([], dtype="int64")})
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
-        res = pd.DataFrame({"url_a": a, "url_b": b})
+        res = pd.DataFrame({"uid_a": a, "uid_b": b})
         # within-bucket dedup (same pair via several keys in this bucket)
         return res.drop_duplicates()
 
@@ -73,18 +77,22 @@ def candidate_pairs(
 
 
 def dedup_pairs(pairs_ds, *, n_buckets: int = DEFAULT_BUCKETS):
-    """Global pair dedup: bucket on url_a then one groupby; per-batch
-    partial dedup first (combiner)."""
+    """Global pair dedup: bucket on uid_a then one groupby; per-batch
+    partial dedup first (combiner). Integer keys: bucket assignment and
+    dedup are vectorized numpy/pandas, no string hashing."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["url_a", "url_b"])
+        return df.drop_duplicates(subset=["uid_a", "uid_b"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = crc32_array(batch["url_a"].to_pylist()) % np.uint32(n_buckets)
-        return batch.append_column("_bucket", pa.array(b.astype(np.int32)))
+        b = (
+            batch["uid_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_buckets
+        ).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(b))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["url_a", "url_b"]).drop(columns=["_bucket"])
+        return df.drop_duplicates(subset=["uid_a", "uid_b"]).drop(columns=["_bucket"])
 
     return (
         pairs_ds.map_batches(partial, batch_format="pandas")

@@ -75,31 +75,25 @@ def score_pairs(
         return _score_broadcast(pairs_ds, features_ds, threshold, sketch_k)
     fa = features_ds.map_batches(
         lambda t: pa.table(
-            {"url": t["url"], "title_a": t["title"], "sketch_a": t["sketch"]}
+            {"uid_fa": t["uid"], "url_a": t["url"], "title_a": t["title"],
+             "sketch_a": t["sketch"]}
         ),
         batch_format="pyarrow",
     )
     fb = features_ds.map_batches(
         lambda t: pa.table(
-            {"url": t["url"], "title_b": t["title"], "sketch_b": t["sketch"]}
+            {"uid_fb": t["uid"], "url_b": t["url"], "title_b": t["title"],
+             "sketch_b": t["sketch"]}
         ),
         batch_format="pyarrow",
     )
     from .util import bucketed_join
 
-    fa = fa.map_batches(
-        lambda t: t.rename_columns(["url_fa", "title_a", "sketch_a"]),
-        batch_format="pyarrow",
-    )
-    fb = fb.map_batches(
-        lambda t: t.rename_columns(["url_fb", "title_b", "sketch_b"]),
-        batch_format="pyarrow",
-    )
     joined = bucketed_join(
-        bucketed_join(pairs_ds, fa, "url_a", "url_fa", n_buckets=num_partitions),
+        bucketed_join(pairs_ds, fa, "uid_a", "uid_fa", n_buckets=num_partitions),
         fb,
-        "url_b",
-        "url_fb",
+        "uid_b",
+        "uid_fb",
         n_buckets=num_partitions,
     )
 
@@ -119,7 +113,17 @@ def score_pairs(
 
 
 def _score_kernel(ua, ub, ta, tb, sa, sb, threshold: float, sketch_k: int) -> pa.Table:
-    """``sa``/``sb``: per-pair uint64 sketch arrays (views are fine)."""
+    """``sa``/``sb``: per-pair uint64 sketch arrays (views are fine).
+    Emits each pair with url_a < url_b lexicographically (pair identity is
+    uid-ordered upstream; scoring features are symmetric, so swapping
+    sides never changes the score)."""
+    swap = [i for i in range(len(ua)) if ub[i] < ua[i]]
+    if swap:
+        ua, ub, ta, tb, sa, sb = list(ua), list(ub), list(ta), list(tb), list(sa), list(sb)
+        for i in swap:
+            ua[i], ub[i] = ub[i], ua[i]
+            ta[i], tb[i] = tb[i], ta[i]
+            sa[i], sb[i] = sb[i], sa[i]
     n = len(ua)
     jac = np.empty(n, dtype=np.float64)
     jwt = np.empty(n, dtype=np.float64)
@@ -157,23 +161,27 @@ def _feat_index(features_ref):
     if key not in _FEAT_CACHE:
         import ray
 
-        urls, titles, mat, lens = ray.get(features_ref)
+        uids, urls, titles, mat, lens = ray.get(features_ref)
         _FEAT_CACHE.clear()  # one live broadcast per worker is plenty
-        _FEAT_CACHE[key] = ({u: i for i, u in enumerate(urls)}, titles, mat, lens)
+        _FEAT_CACHE[key] = (
+            {u: i for i, u in enumerate(uids)},
+            urls,
+            titles,
+            mat,
+            lens,
+        )
     return _FEAT_CACHE[key]
 
 
 def _score_broadcast_batch(
     batch: pa.Table, features_ref, threshold: float, sketch_k: int
 ) -> pa.Table:
-    idx, titles, mat, lens = _feat_index(features_ref)
-    ua = batch["url_a"].to_pylist()
-    ub = batch["url_b"].to_pylist()
-    ia = [idx[u] for u in ua]
-    ib = [idx[u] for u in ub]
+    idx, urls, titles, mat, lens = _feat_index(features_ref)
+    ia = [idx[u] for u in batch["uid_a"].to_pylist()]
+    ib = [idx[u] for u in batch["uid_b"].to_pylist()]
     return _score_kernel(
-        ua,
-        ub,
+        [urls[i] for i in ia],
+        [urls[i] for i in ib],
         [titles[i] for i in ia],
         [titles[i] for i in ib],
         [mat[i, : lens[i]] for i in ia],
@@ -186,12 +194,14 @@ def _score_broadcast_batch(
 def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int):
     import ray
 
+    uids: list[int] = []
     urls: list[str] = []
     titles: list[str] = []
     sketch_rows: list[bytes] = []
-    for b in features_ds.select_columns(["url", "title", "sketch"]).iter_batches(
+    for b in features_ds.select_columns(["uid", "url", "title", "sketch"]).iter_batches(
         batch_format="pyarrow"
     ):
+        uids.extend(b["uid"].to_pylist())
         urls.extend(b["url"].to_pylist())
         titles.extend(b["title"].to_pylist())
         sketch_rows.extend(b["sketch"].to_pylist())
@@ -203,7 +213,7 @@ def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int):
         mat[i, : row.size] = row
     import functools
 
-    ref = ray.put((urls, titles, mat, lens))
+    ref = ray.put((uids, urls, titles, mat, lens))
     return pairs_ds.map_batches(
         functools.partial(
             _score_broadcast_batch,

@@ -193,30 +193,32 @@ def bucketed_join(
 
     out_schema = _pa.schema([(c, ltypes.get(c) or rtypes.get(c)) for c in all_cols])
 
-    def merge(df: pd.DataFrame) -> _pa.Table:
-        lf = df[df["_side"] == 0]
-        rt = df[df["_side"] == 1]
-        out = pd.merge(
-            lf[lcols + ["_jk"]],
-            rt[rcols + ["_jk"]],
-            on="_jk",
-            how="inner" if how == "inner" else "left",
-            sort=False,
-        ).drop(columns=["_jk"])
-        # Emit with the EXPLICIT schema: empty merges otherwise carry
-        # object dtypes that Arrow would type as string, breaking later
-        # schema unification (bool vs string etc).
-        arrays = [
-            _pa.array(out[c].to_numpy(copy=False), type=out_schema.field(c).type,
-                      from_pandas=True)
-            for c in all_cols
-        ]
-        return _pa.Table.from_arrays(arrays, schema=out_schema)
+    def strip(t: _pa.Table) -> _pa.Table:
+        """Per-bucket hash join, PURE ARROW (``pyarrow.Table.join``).
 
-    def strip(df: pd.DataFrame) -> _pa.Table:
-        return merge(df.drop(columns=["_bucket"]))
+        Never a pandas round-trip: the tagged union has nulls in the
+        other side's columns, and pandas silently promotes int64-with-
+        nulls to float64 — which ROUNDS values beyond 2^53 (64-bit doc
+        uids land at multiples of 512, silently corrupting join keys
+        downstream). Arrow preserves types and nulls exactly and its
+        hash join is faster than pandas merge anyway."""
+        import pyarrow.compute as _pc
 
-    return tagged.groupby("_bucket").map_groups(strip, batch_format="pandas")
+        side = t["_side"]
+        lf = t.filter(_pc.equal(side, 0)).select(lcols + ["_jk"])
+        rt = t.filter(_pc.equal(side, 1)).select(rcols + ["_jk"])
+        out = lf.join(
+            rt,
+            keys=["_jk"],
+            join_type="inner" if how == "inner" else "left outer",
+        )
+        out = out.select(all_cols)
+        return out.cast(out_schema)
+
+    def run(df: _pa.Table) -> _pa.Table:
+        return strip(df.drop_columns(["_bucket"]))
+
+    return tagged.groupby("_bucket").map_groups(run, batch_format="pyarrow")
 
 
 def cents(col, scale: int = 100):

@@ -42,8 +42,14 @@ def test_blocking_recall_and_pairs(er_result):
     out, _ = er_result
     pairs = out["pairs"].to_pandas()
     assert len(pairs) > 0
-    assert (pairs["url_a"] < pairs["url_b"]).all()
-    assert not pairs.duplicated(["url_a", "url_b"]).any()
+    assert (pairs["uid_a"] < pairs["uid_b"]).all()
+    assert not pairs.duplicated(["uid_a", "uid_b"]).any()
+    # every uid resolves to exactly one url in the features table
+    feats = out["features"].to_pandas()
+    assert feats["uid"].is_unique
+    known = set(feats["uid"])
+    assert set(pairs["uid_a"]).issubset(known)
+    assert set(pairs["uid_b"]).issubset(known)
 
 
 def test_f1_at_least_099(er_result):

@@ -91,12 +91,14 @@ def test_salted_host_emits_pairs_capped_host_does_not(ray_session, skew_corpus):
     cap = 40
     hot = hot_host_sizes(deduped.select_columns(["url"]), cap)
 
+    feats_df = features.to_pandas()
+    url_of = dict(zip(feats_df["uid"], feats_df["url"]))
+
     def host_pairs(blocks) -> int:
         p = candidate_pairs(blocks, max_block_size=cap, n_buckets=16).to_pandas()
-        same_host = p[
-            p["url_a"].str.contains("big-portal") & p["url_b"].str.contains("big-portal")
-        ]
-        return len(same_host)
+        ua = p["uid_a"].map(url_of)
+        ub = p["uid_b"].map(url_of)
+        return int((ua.str.contains("big-portal") & ub.str.contains("big-portal")).sum())
 
     salted = block_keys_stage(features, hot_hosts=hot, max_block_size=cap)
     unsalted = block_keys_stage(features, hot_hosts=None, max_block_size=cap)
