@@ -156,7 +156,14 @@ class CheckpointRunner:
                 man = _json.load(f)
             n_frags = max(1, len(man.get("fragments", [])))
             rows = man.get("rows", 0)
-            blocks = min(n_frags, adaptive_partitions(rows, n_frags))
+            # ~10k rows per block: enough rows that per-task overhead
+            # amortizes, enough BLOCKS that a downstream CPU-heavy
+            # map_batches can use the whole cluster (map parallelism is
+            # block-bound — a 231k-row stage re-read as 5 blocks ran its
+            # scorer on 5 cores).
+            blocks = min(
+                n_frags, adaptive_partitions(rows, n_frags, rows_per_partition=10_000)
+            )
         except OSError:
             blocks = None
         return rd.read_parquet(
