@@ -44,6 +44,9 @@ class ERConfig:
     # hot-host skew salting (north_rule): hosts with more pages than
     # max_block_size are split into salted sub-blocks (see blocking.py)
     salt_hot_hosts: bool = True
+    # extract before the dedup shuffle (text shuffles instead of html —
+    # see make_deduped; False restores dedup-first, results identical)
+    extract_before_dedup: bool = True
     checkpoint_dir: str | None = None  # per-stage parquet + manifests
     run_id: str = "run0"
     stage_overrides: dict = field(default_factory=dict)
@@ -93,6 +96,22 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             if "text" in cols
             else pages_ds
         )
+        if cfg.extract_before_dedup:
+            # extract FIRST (map tasks — scales with the cluster; the
+            # ~25% duplicate-crawl extraction overhead is parallel work),
+            # so the dedup shuffle moves extracted text, not raw html —
+            # on real web pages html is 5-10× the text, making this the
+            # dominant shuffle-volume lever. Result rows are identical
+            # either way: extraction is a pure function of html and
+            # dedup keeps the same (url, max warc_ts) row.
+            extracted = extract_stage(
+                slim,
+                batch_size=cfg.extract_batch_size,
+                concurrency=cfg.extract_concurrency,
+            )
+            return dedup_latest(
+                extracted, "url", "warc_ts", n_buckets=cfg.n_buckets
+            )
         return extract_stage(
             dedup_latest(slim, "url", "warc_ts", n_buckets=cfg.n_buckets),
             batch_size=cfg.extract_batch_size,

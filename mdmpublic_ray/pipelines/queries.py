@@ -376,6 +376,54 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_daily_purchase_error_counts(sf_dir: str):
+    """Full-outer comparison join (J5 — the two-sided file-tree compare
+    compare_machine_report.sh:94-101): per-day purchase counts vs error
+    counts, keeping days where only one side occurred (zeros filled).
+    Both sides pre-aggregated map-side; one bucketed full-outer join."""
+    from ..stages.util import bucketed_join
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def day_counts(ev_type: str, out: str):
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_type"] == ev_type]
+            return pd.DataFrame({"day": df["ts"].dt.strftime("%Y-%m-%d")})
+
+        return partial_sum_groupby(
+            ds.map_batches(prep, batch_format="pandas"), ["day"], {}, out
+        )
+
+    p = day_counts("purchase", "n_purchase")
+    e = day_counts("error", "n_error").map_batches(
+        lambda t: t.rename_columns(["day_e", "n_error"]), batch_format="pyarrow"
+    )
+    j = bucketed_join(p, e, "day", "day_e", how="outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": t["day"],
+                "n_purchase": pc.coalesce(t["n_purchase"], pa.scalar(0, pa.int64())),
+                "n_error": pc.coalesce(t["n_error"], pa.scalar(0, pa.int64())),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DAILY_PURCHASE_ERROR = """
+WITH p AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_purchase
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+     e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_error
+           FROM events WHERE event_type = 'error' GROUP BY 1)
+SELECT coalesce(p.day, e.day) AS day,
+       coalesce(n_purchase, 0) AS n_purchase,
+       coalesce(n_error, 0) AS n_error
+FROM p FULL OUTER JOIN e ON p.day = e.day
+"""
+
+
 def q_purchase_asof_signup(sf_dir: str):
     """As-of join (custom operator the Dataset API lacks; brief's
     windowed/as-of family): each purchase event picks up the latest
@@ -1012,6 +1060,7 @@ QUERIES = {
     "distinct_event_types": q_distinct_event_types,
     "hourly_type_windows": q_hourly_type_windows,
     "purchase_asof_signup": q_purchase_asof_signup,
+    "daily_purchase_error_counts": q_daily_purchase_error_counts,
     "customer_revenue": q_customer_revenue,
     "top_customers": q_top_customers,
     "parts_never_early_shipped": q_parts_never_early_shipped,
@@ -1051,6 +1100,7 @@ ORACLE_SQL = {
     "distinct_event_types": SQL_DISTINCT_TYPES,
     "hourly_type_windows": SQL_HOURLY_WINDOWS,
     "purchase_asof_signup": SQL_PURCHASE_ASOF_SIGNUP,
+    "daily_purchase_error_counts": SQL_DAILY_PURCHASE_ERROR,
     "customer_revenue": SQL_CUSTOMER_REVENUE,
     "top_customers": SQL_TOP_CUSTOMERS,
     "parts_never_early_shipped": SQL_PARTS_NEVER_EARLY,

@@ -131,9 +131,11 @@ def bucketed_join(
     vectorized ``pandas.merge`` per bucket. O(P) Python calls; payload
     columns (binary sketches included) ride through Arrow untouched.
 
-    ``how``: "inner" or "left" (left join keeps unmatched left rows with
-    nulls). Key columns must be string or integer; output columns =
-    left's then right's (minus ``right_on``).
+    ``how``: "inner", "left" (unmatched left rows kept with nulls) or
+    "outer" (full outer: unmatched rows of BOTH sides kept). Key columns
+    must be string or integer; output columns = left's then right's
+    (minus ``right_on``). For "outer" the join key survives as the left
+    key column even for right-only rows.
     """
     import pyarrow as _pa
 
@@ -207,11 +209,17 @@ def bucketed_join(
         side = t["_side"]
         lf = t.filter(_pc.equal(side, 0)).select(lcols + ["_jk"])
         rt = t.filter(_pc.equal(side, 1)).select(rcols + ["_jk"])
-        out = lf.join(
-            rt,
-            keys=["_jk"],
-            join_type="inner" if how == "inner" else "left outer",
-        )
+        jt = {"inner": "inner", "left": "left outer", "outer": "full outer"}[how]
+        out = lf.join(rt, keys=["_jk"], join_type=jt)
+        if how == "outer" and left_on in lcols:
+            # right-only rows have a null left key column; recover it from
+            # the join key so the output key is total
+            key_t = out_schema.field(left_on).type
+            out = out.set_column(
+                out.schema.get_field_index(left_on),
+                left_on,
+                _pc.coalesce(out[left_on], _pc.cast(out["_jk"], key_t)),
+            )
         out = out.select(all_cols)
         return out.cast(out_schema)
 

@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the scalar/hashing function
+library — the determinism and algebraic invariants conformance rests on."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mdmpublic_ray.functions import hashing as H
+from mdmpublic_ray.functions import text as T
+from mdmpublic_ray.functions.urls import canonical_host
+
+texts = st.text(max_size=80)
+tokens_lists = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6), max_size=30
+)
+
+
+@given(texts, texts)
+@settings(max_examples=200, deadline=None)
+def test_jaro_winkler_bounds_and_symmetry(a, b):
+    x = T.jaro_winkler(a, b)
+    assert 0.0 <= x <= 1.0
+    assert x == T.jaro_winkler(b, a)
+    assert T.jaro_winkler(a, a) == (1.0 if a else 0.0) or a == ""
+
+
+@given(texts)
+@settings(max_examples=100, deadline=None)
+def test_jaro_winkler_identity(a):
+    if a:
+        assert T.jaro_winkler(a, a) == 1.0
+
+
+@given(tokens_lists, tokens_lists)
+@settings(max_examples=100, deadline=None)
+def test_jaccard_bounds_and_symmetry(a, b):
+    sa, sb = frozenset(a), frozenset(b)
+    j = T.jaccard(sa, sb)
+    assert 0.0 <= j <= 1.0
+    assert j == T.jaccard(sb, sa)
+    if sa == sb:
+        assert j == 1.0
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_stable_hashes_deterministic_and_in_range(s):
+    assert H.stable_u32(s) == H.stable_u32(s)
+    assert 0 <= H.stable_u32(s) < 2**32
+    assert H.stable_u64(s) == H.stable_u64(s)
+    assert 0 <= H.stable_u64(s) < 2**64
+
+
+@given(tokens_lists)
+@settings(max_examples=100, deadline=None)
+def test_minhash_signature_identity(toks):
+    a, b = H.minhash_permutations(32, seed=1)
+    sh = H.shingle_hashes(toks, 3)
+    s1 = H.minhash_signature(sh, a, b)
+    s2 = H.minhash_signature(sh.copy(), a, b)
+    assert np.array_equal(s1, s2)
+    assert s1.shape == (32,)
+    # batch kernel agrees with the single-doc kernel
+    batch = H.minhash_signatures_batch([sh], a, b)
+    assert np.array_equal(batch[0], s1)
+
+
+@given(st.lists(tokens_lists, max_size=8))
+@settings(max_examples=50, deadline=None)
+def test_minhash_batch_matches_singles(docs):
+    a, b = H.minhash_permutations(16, seed=9)
+    shingles = [H.shingle_hashes(d, 3) for d in docs]
+    batch = H.minhash_signatures_batch(shingles, a, b)
+    for i, sh in enumerate(shingles):
+        assert np.array_equal(batch[i], H.minhash_signature(sh, a, b))
+
+
+@given(st.integers(min_value=0, max_value=2**62))
+@settings(max_examples=100, deadline=None)
+def test_lsh_band_ids_positive_and_stable(seed):
+    rng = np.random.default_rng(seed % 2**32)
+    sig = rng.integers(0, 2**32, size=64, dtype=np.uint32)
+    ids1 = H.lsh_band_ids(sig, 16)
+    ids2 = H.lsh_band_ids(sig.copy(), 16)
+    assert np.array_equal(ids1, ids2)
+    assert (ids1 >= 0).all()
+    # distinct bands with identical rows still get distinct keys
+    flat = np.zeros(64, dtype=np.uint32)
+    idf = H.lsh_band_ids(flat, 16)
+    assert len(set(idf.tolist())) == 16
+
+
+@given(st.text(alphabet="abcxyz:/._-0123456789", max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_canonical_host_idempotent_ish(u):
+    h = canonical_host(u)
+    if h:
+        # feeding the host back as a url yields the same host
+        assert canonical_host(f"https://{h}/x") == h
+
+
+@given(tokens_lists)
+@settings(max_examples=100, deadline=None)
+def test_rolling_fingerprints_deterministic_and_bounded(toks):
+    f1 = T.rolling_fingerprints(toks)
+    f2 = T.rolling_fingerprints(list(toks))
+    assert f1 == f2
+    assert len(f1) <= 8
+    assert f1 == sorted(f1)
