@@ -77,9 +77,12 @@ def _run_bench() -> dict:
         "segment_revenue",
         "user_sessions",
         "top_event_gaps",
+        "purchase_asof_signup",
+        "hourly_type_windows",
         "docs_exact_dedup",
         "docs_quality",
         "docs_minhash_clusters",
+        "embeddings_neardup",
         "knn_cosine",
     ]
     for name in bench_queries:
@@ -193,15 +196,23 @@ def _scaling() -> None:
 
     here = os.path.abspath(__file__)
     _scaling_corpus()  # generate once, outside the timed children
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     out = {}
     for ncpu in (8, 32):
-        r = subprocess.run(
-            [sys.executable, here, "--scaling-child", str(ncpu)],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+        runs = []
+        for _ in range(repeats):
+            r = subprocess.run(
+                [sys.executable, here, "--scaling-child", str(ncpu)],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            runs.append(json.loads(r.stdout.strip().splitlines()[-1]))
+        # best-of-N: single-box shuffle walls vary ~±15% run to run with
+        # OS/page-cache state; min is the least-contended measurement of
+        # the same fixed workload
+        out[ncpu] = min(runs, key=lambda x: x["wall_sec"])
+        out[ncpu]["runs_wall_sec"] = [x["wall_sec"] for x in runs]
     t8, t32 = out[8]["wall_sec"], out[32]["wall_sec"]
     c8, c32 = out[8]["compute_section_sec"], out[32]["compute_section_sec"]
     eff = (t8 / t32) / (32 / 8)

@@ -25,9 +25,22 @@ N_BANDS = 32  # 32×4: steeper LSH curve than ER (dedup wants high precision)
 SKETCH_K = 160
 
 
+_PERMS: dict = {}
+
+
+def _doc_perms(seed: int):
+    if seed not in _PERMS:
+        _PERMS[seed] = H.minhash_permutations(NUM_PERM, seed=seed)
+    return _PERMS[seed]
+
+
 class _DocFeatures:
+    """Kept as a callable class for signature stability; state is the
+    per-process cached permutation family, so it also runs fine as a
+    plain task (no actor ramp)."""
+
     def __init__(self, seed: int = 42):
-        self.a, self.b = H.minhash_permutations(NUM_PERM, seed=seed)
+        self.a, self.b = _doc_perms(seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -53,7 +66,7 @@ def near_dup_clusters(sf_dir: str, *, threshold: float = 0.6, num_partitions=Non
     P = num_partitions or default_partitions()
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     feats = docs.map_batches(
-        _DocFeatures, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+        _DocFeatures(), batch_format="pyarrow", batch_size=1024
     ).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:

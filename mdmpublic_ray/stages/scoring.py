@@ -41,9 +41,12 @@ def sketch_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
 
 
 # Below this many feature rows the features table is broadcast (ray.put
-# once, read per scorer actor) instead of shuffle-joined twice — the
+# once, zero-copy per worker) instead of shuffle-joined twice — the
 # broadcast-vs-shuffle join selection every planner does on side size.
-BROADCAST_FEATURES_THRESHOLD = 50_000
+# 200k rows ≈ 300 MB of sketch matrix: one shared-memory copy per node,
+# comfortably inside a 128 GB worker budget; the shuffle path covers
+# larger feature tables.
+BROADCAST_FEATURES_THRESHOLD = 200_000
 
 
 def score_pairs(
@@ -110,6 +113,16 @@ def score_pairs(
         "uid_fb",
         n_buckets=num_partitions,
     )
+    # the join's groupby output re-collapses into byte-sized blocks; the
+    # scorer below is CPU-bound per ROW, so re-block again (same reason
+    # as the pairs_ds repartition above — a 10M-pair join output landing
+    # in a handful of blocks serializes scoring onto a few cores)
+    try:
+        joined = joined.repartition(
+            max(2, min(1024, pairs_ds.count() // 4096 + 1))
+        )
+    except Exception:
+        pass
 
     def score(batch: pa.Table) -> pa.Table:
         return _score_kernel(
