@@ -666,6 +666,35 @@ GROUP BY c_mktsegment
 """
 
 
+def q_top_orders_per_customer(sf_dir: str):
+    """Top-k per group (T1 grouped variant; ORDER BY … LIMIT per key):
+    each customer's 2 most expensive orders. One bucketed groupby; the
+    per-bucket body is a vectorized pandas sort + groupby head — no
+    per-customer Python. Ties broken by o_orderkey for determinism."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df.groupby("o_custkey", sort=False).head(2)
+        return out[["o_custkey", "o_orderkey", "o_totalprice"]]
+
+    return bucketed_map_groups(ds, "o_custkey", topk)
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 2
+"""
+
+
 def q_nation_region(sf_dir: str):
     """Dimension-dimension broadcast join (J2 small scale)."""
     import ray
@@ -1067,6 +1096,7 @@ QUERIES = {
     "parts_early_shipped": q_parts_early_shipped,
     "segment_revenue": q_segment_revenue,
     "nation_region": q_nation_region,
+    "top_orders_per_customer": q_top_orders_per_customer,
     "orders_by_month": q_orders_by_month,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_token_stats": q_docs_token_stats,
@@ -1107,6 +1137,7 @@ ORACLE_SQL = {
     "parts_early_shipped": SQL_PARTS_EARLY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "nation_region": SQL_NATION_REGION,
+    "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "orders_by_month": SQL_ORDERS_BY_MONTH,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
