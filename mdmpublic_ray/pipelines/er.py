@@ -1,11 +1,15 @@
 """The flagship entity-resolution pipeline (BASELINE.json north_star):
 
-  read pages → dedup-latest per url → actor-pool HTML extraction
-  → per-doc match features (MinHash / bottom-k sketch / title)
-  → multi-pass blocking (canonical host + LSH bands)
-  → capped within-block candidate pairs → pair dedup
-  → vectorized pairwise scoring (Jaccard + Jaro-Winkler) → match edges
-  → iterative hash-partitioned min-label propagation → clusters
+  read pages (text column pruned) → HTML→text extraction (map tasks)
+  → dedup-latest per url (shuffle of text rows, never html)
+  → per-doc match features (MinHash / bottom-k sketch / title / uid)
+  → multi-pass blocking (canonical host + LSH bands, int64 keys,
+    skew-aware salting of hot hosts)
+  → capped within-block candidate pairs (uid pairs) → pair dedup
+  → vectorized pairwise scoring (Jaccard + Jaro-Winkler; broadcast or
+    shuffle-join features by size) → match edges
+  → transitive closure (driver union-find small / hash-partitioned
+    min-label rounds large) → clusters
   → golden-record survivorship
 
 This is the Ray-Data re-expression of the MDM flow: staging bucket →
@@ -15,7 +19,7 @@ match index → master bucket (SURVEY.md §0; ``cb_backup.py:45``,
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyarrow as pa
 
@@ -49,7 +53,6 @@ class ERConfig:
     extract_before_dedup: bool = True
     checkpoint_dir: str | None = None  # per-stage parquet + manifests
     run_id: str = "run0"
-    stage_overrides: dict = field(default_factory=dict)
 
 
 def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
