@@ -125,6 +125,14 @@ HOST_BIT = 1 << 62
 _KEY_MASK = 0x3FFF_FFFF_FFFF_FFFF
 _SALT_MIX = 0x9E3779B97F4A7C15  # golden-ratio odd constant
 
+# Salted sub-block size for HOT hosts (smaller than max_block_size on
+# purpose): within-subgroup pairs of a random url split are exploratory
+# same-site candidates, not content-keyed matches — LSH carries near-dup
+# recall across the whole host — so their budget is kept at ~31 candidate
+# pairs per hot-host page (64·63/2 per 64-page subgroup) instead of ~127.
+# A 10M-page host then costs 0.3B candidates, not 1.3B.
+SALT_SUBBLOCK = 64
+
 
 def hot_host_sizes(urls_ds, max_block_size: int, *, driver_cap: int = 100_000) -> dict:
     """Skew pre-pass (north_rule "explicit skew-aware salting of hot
@@ -207,7 +215,11 @@ def block_keys_stage(
                     key = (H.stable_u64(host) & _KEY_MASK) | HOST_BIT
                     size = hot.get(host)
                     if size:
-                        g = -(-size // max_block_size)  # ceil
+                        # subgroup target ≤ half the cap: the hash split
+                        # has variance, and a subgroup that lands over
+                        # max_block_size would be dropped by the pair cap
+                        sub = max(2, min(SALT_SUBBLOCK, max_block_size // 2))
+                        g = -(-size // sub)  # ceil
                         salt = H.stable_u32(url) % g
                         key = (
                             (key ^ ((salt + 1) * _SALT_MIX)) & _KEY_MASK

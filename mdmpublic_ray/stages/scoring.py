@@ -43,10 +43,15 @@ def sketch_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
 # Below this many feature rows the features table is broadcast (ray.put
 # once, zero-copy per worker) instead of shuffle-joined twice — the
 # broadcast-vs-shuffle join selection every planner does on side size.
-# 200k rows ≈ 300 MB of sketch matrix: one shared-memory copy per node,
-# comfortably inside a 128 GB worker budget; the shuffle path covers
-# larger feature tables.
-BROADCAST_FEATURES_THRESHOLD = 200_000
+# Budget is BYTES, not rows: a feature row is ~1.4 KB (sketch_k×8 + url/
+# title), so 1M rows ≈ 1.4 GB — one shared-memory copy per NODE, fine on
+# 128 GB workers. The shuffle join is the fallback beyond that, but note
+# its cost shape: the joined intermediate carries BOTH sketches per pair
+# (~2.7 KB × pairs — measured 65 GB through the shuffle for a 24M-pair
+# corpus, vs a 310 MB broadcast). The true beyond-broadcast design is a
+# bucketed on-disk feature store probed per pair partition; until feature
+# tables exceed node memory, broadcast is strictly better.
+BROADCAST_FEATURES_THRESHOLD = 1_000_000
 
 
 def score_pairs(
