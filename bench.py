@@ -108,9 +108,10 @@ def _scaling_corpus() -> str:
     child runs): realistic web-page bodies (300-800 tokens ≈ real pages,
     not the tiny unit-test docs) so the bench measures COMPUTE scaling,
     not per-stage scheduling latency on toy data."""
-    d = os.environ.get("GRAFT_SCALING_DIR", "/tmp/graft_scaling_corpus")
+    base = os.environ.get("GRAFT_SCALING_DIR", "/tmp/graft_scaling_corpus")
     n_clusters = int(os.environ.get("GRAFT_SCALING_CLUSTERS", "12000"))
-    marker = os.path.join(d, f"pages_{n_clusters}.ok")
+    d = os.path.join(base, f"n{n_clusters}")  # one dir per size — no aliasing
+    marker = os.path.join(d, "pages.ok")
     if not os.path.exists(marker):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from mdmpublic_ray.corpus import write_corpus
