@@ -175,8 +175,8 @@ WITH gaps AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (
   SELECT user_id, ts_us,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM gaps)
 SELECT user_id, session_no, min(ts_us) AS session_start_us,
        max(ts_us) AS session_end_us, count(*) AS n_events
