@@ -105,6 +105,117 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     return j + prefix * prefix_weight * (1.0 - j)
 
 
+def _encode_u32(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Codepoint matrix (n × max_len, zero-padded) + length vector."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    width = max(int(lens.max()) if n else 0, 1)
+    mat = np.zeros((n, width), dtype=np.uint32)
+    if n:
+        # one C-level encode of the concatenation, then a vectorized
+        # scatter — ~10× cheaper than per-string encode+frombuffer
+        flat = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
+        cols = np.arange(width)
+        mask = cols < lens[:, None]
+        take = (np.cumsum(lens) - lens)[:, None] + cols
+        mat[mask] = flat[take[mask]]
+    return mat, lens
+
+
+def _jaro_batch_core(A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Vectorized Jaro over codepoint matrices; bit-identical to ``jaro``
+    for non-equal string pairs (the s1 == s2 fast path is the caller's).
+
+    The greedy match scan loops over CHARACTER POSITIONS of the left side
+    only; each iteration resolves the window search for every pair at once
+    (argmax of a masked equality matrix), so cost is O(max_len1 × n ×
+    max_len2) vector ops — no per-pair Python.
+    """
+    n = la.size
+    if n == 0:
+        return np.zeros(0)
+    md = np.maximum(la, lb) // 2 - 1  # may be -1, exactly like the scalar
+    m1 = np.zeros(A.shape, dtype=bool)
+    m2 = np.zeros(B.shape, dtype=bool)
+    jr = np.arange(B.shape[1])
+    for i in range(int(la.max())):
+        act = la > i
+        if not act.any():
+            break
+        cand = (
+            (B == A[:, i][:, None])
+            & ~m2
+            & (jr >= (i - md)[:, None])
+            & (jr < np.minimum(lb, i + md + 1)[:, None])
+            & act[:, None]
+        )
+        has = cand.any(axis=1)
+        if has.any():
+            rows = np.nonzero(has)[0]
+            j = cand.argmax(axis=1)
+            m1[rows, i] = True
+            m2[rows, j[rows]] = True
+    matches = m1.sum(axis=1)
+    width = int(matches.max()) if n else 0
+    if width == 0:
+        return np.zeros(n)
+    # compact matched chars leftward in original order (stable argsort on
+    # the inverted mask), then count transposition mismatches columnwise
+    c1 = np.take_along_axis(A, np.argsort(~m1, axis=1, kind="stable"), axis=1)[:, :width]
+    c2 = np.take_along_axis(B, np.argsort(~m2, axis=1, kind="stable"), axis=1)[:, :width]
+    t = ((c1 != c2) & (np.arange(width) < matches[:, None])).sum(axis=1) // 2
+    m = matches.astype(np.float64)
+    safe_m = np.maximum(m, 1.0)
+    jaro_v = (
+        m / np.maximum(la, 1) + m / np.maximum(lb, 1) + (m - t) / safe_m
+    ) / 3.0
+    return np.where(matches > 0, jaro_v, 0.0)
+
+
+def jaro_winkler_batch(
+    s1: list[str], s2: list[str], prefix_weight: float = 0.1, chunk: int = 2048
+) -> np.ndarray:
+    """Batched ``jaro_winkler`` — identical values, vectorized.
+
+    Equal pairs short-circuit to 1.0; repeated (a, b) combinations are
+    computed once per batch (titles repeat heavily across candidate
+    pairs); the rest run through the numpy core in length-sorted chunks so
+    one long outlier string doesn't widen every row's matrices.
+    """
+    n = len(s1)
+    out = np.empty(n, dtype=np.float64)
+    memo: dict[tuple[str, str], int] = {}
+    da: list[str] = []
+    db: list[str] = []
+    slot = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        x, y = s1[i], s2[i]
+        if x == y:
+            slot[i] = -1
+            continue
+        k = memo.setdefault((x, y), len(da))
+        if k == len(da):
+            da.append(x)
+            db.append(y)
+        slot[i] = k
+    vals = np.empty(len(da), dtype=np.float64)
+    if da:
+        order = sorted(range(len(da)), key=lambda k: max(len(da[k]), len(db[k])))
+        for s in range(0, len(order), chunk):
+            sel = order[s : s + chunk]
+            A, la = _encode_u32([da[k] for k in sel])
+            B, lb = _encode_u32([db[k] for k in sel])
+            j = _jaro_batch_core(A, la, B, lb)
+            p = min(4, A.shape[1], B.shape[1])
+            eqp = (A[:, :p] == B[:, :p]) & (np.arange(p) < np.minimum(la, lb)[:, None])
+            prefix = np.cumprod(eqp, axis=1).sum(axis=1)
+            vals[sel] = j + prefix * prefix_weight * (1.0 - j)
+    eq = slot < 0
+    out[eq] = 1.0
+    out[~eq] = vals[slot[~eq]]
+    return out
+
+
 def rolling_fingerprints(toks: list[str], window: int = 4, keep: int = 8) -> list[int]:
     """Winnowing-style document fingerprint: hash every ``window``-token
     shingle, keep the ``keep`` smallest hashes (a deterministic sketch).

@@ -104,21 +104,18 @@ def near_dup_clusters(sf_dir: str, *, threshold: float = 0.6, num_partitions=Non
         )
 
         def verify(t: pa.Table) -> pa.Table:
-            ua = [str(u) for u in t["uid_a"].to_pylist()]
-            ub = [str(u) for u in t["uid_b"].to_pylist()]
-            sa, sb = t["sketch_a"].to_pylist(), t["sketch_b"].to_pylist()
-            keep_a, keep_b = [], []
-            for i in range(len(ua)):
-                j = sketch_jaccard(
-                    np.frombuffer(sa[i], dtype=np.uint64),
-                    np.frombuffer(sb[i], dtype=np.uint64),
-                    SKETCH_K,
-                )
-                if j >= threshold:
-                    keep_a.append(ua[i])
-                    keep_b.append(ub[i])
+            from .scoring import pad_sketch_column, sketch_jaccard_batch
+
+            mat_a, len_a = pad_sketch_column(t["sketch_a"])
+            mat_b, len_b = pad_sketch_column(t["sketch_b"])
+            jac = sketch_jaccard_batch(mat_a, len_a, mat_b, len_b, SKETCH_K)
+            keep = np.nonzero(jac >= threshold)[0]
+            sel = t.take(keep)
             return pa.table(
-                {"url_a": pa.array(keep_a, pa.string()), "url_b": pa.array(keep_b, pa.string())}
+                {
+                    "url_a": sel["uid_a"].cast(pa.string()),
+                    "url_b": sel["uid_b"].cast(pa.string()),
+                }
             )
 
         edges = joined.map_batches(verify, batch_format="pyarrow").materialize()

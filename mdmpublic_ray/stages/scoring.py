@@ -3,9 +3,11 @@ on url/title (SURVEY.md §7.1 M4; BASELINE.json north_star scorers).
 
 Features are joined onto pairs with Ray's hash-shuffle ``Dataset.join``
 (both sides large ⇒ no broadcast). The scorer itself is a stateless
-``map_batches`` with numpy set-intersection per pair — pairs are the
-bounded output of capped blocking, so per-pair Python cost is acceptable;
-the heavy per-*document* work happened once in the features stage.
+``map_batches`` whose kernels are fully batch-vectorized: bottom-k
+Jaccard as one sort + adjacent-duplicate count over a padded uint64
+matrix, Jaro-Winkler as a numpy char-position scan (see
+``functions.text.jaro_winkler_batch``) — no per-pair Python in the hot
+path.
 """
 
 from __future__ import annotations
@@ -13,8 +15,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..functions.text import jaro_winkler
+from ..functions.text import jaro_winkler_batch
 
 # score = weighted blend; is_match is thresholded on the blend.
 W_JACCARD, W_TITLE, W_URL = 0.7, 0.2, 0.1
@@ -38,6 +41,75 @@ def sketch_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
     inter = np.intersect1d(cut, a, assume_unique=True)
     both = np.isin(inter, b, assume_unique=True).sum()
     return float(both) / float(kk)
+
+
+# Pad value for sketch matrices: >= every real hash, so a row's first
+# len_a+len_b sorted slots hold exactly the real value multiset.
+SKETCH_PAD = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def sketch_jaccard_batch(
+    A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray, k: int
+) -> np.ndarray:
+    """Vectorized ``sketch_jaccard`` over padded uint64 matrices.
+
+    ``A``/``B``: (n × ka/kb) rows padded with ``SKETCH_PAD``; ``la``/``lb``
+    valid lengths. Rows must be duplicate-free (sketches are bottom-k of a
+    set), matching the scalar estimator's ``assume_unique``. Identical
+    values per pair, no per-pair Python: sort the concatenated row, count
+    adjacent duplicates (= values present in both sides) whose distinct
+    rank falls inside the bottom-kk union cut.
+    """
+    n = la.size
+    if n == 0:
+        return np.zeros(0)
+    s = np.sort(np.concatenate([A, B], axis=1), axis=1)
+    tot = la + lb
+    width = s.shape[1]
+    valid = np.arange(width) < tot[:, None]
+    newv = np.empty((n, width), dtype=bool)
+    newv[:, 0] = True
+    newv[:, 1:] = s[:, 1:] != s[:, :-1]
+    newv &= valid
+    rank = np.cumsum(newv, axis=1)
+    union = rank[:, -1]
+    dup = np.zeros((n, width), dtype=bool)
+    dup[:, 1:] = s[:, 1:] == s[:, :-1]
+    dup &= valid
+    kk = np.minimum(k, union)
+    both = (dup & (rank <= kk[:, None])).sum(axis=1)
+    out = both / np.maximum(kk, 1)
+    out[tot == 0] = 1.0
+    return out
+
+
+def pad_sketch_column(col, width: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow binary column (uint64-packed sketches) → (padded matrix, lens).
+
+    Zero-copy from the Arrow values buffer into one vectorized scatter —
+    no per-row ``np.frombuffer``.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_binary(col.type):
+        col = col.cast(pa.binary())
+    n = len(col)
+    if n == 0:
+        return np.full((0, width or 1), SKETCH_PAD, dtype=np.uint64), np.zeros(0, np.int64)
+    # BinaryArray buffers: [validity, int32 offsets, data]; offsets are
+    # relative to the data buffer and already account for array slicing.
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[col.offset : col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    starts = offs[:-1].astype(np.int64) // 8
+    lens = (offs[1:].astype(np.int64) - offs[:-1]) // 8
+    flat = data[: (len(data) // 8) * 8].view(np.uint64)
+    w = width or max(int(lens.max()), 1)
+    mat = np.full((n, w), SKETCH_PAD, dtype=np.uint64)
+    cols = np.arange(w)
+    mask = cols < lens[:, None]
+    take = starts[:, None] + cols
+    mat[mask] = flat[take[mask]]
+    return mat, lens
 
 
 # Below this many feature rows the features table is broadcast (ray.put
@@ -130,13 +202,14 @@ def score_pairs(
         pass
 
     def score(batch: pa.Table) -> pa.Table:
+        mat_a, len_a = pad_sketch_column(batch["sketch_a"])
+        mat_b, len_b = pad_sketch_column(batch["sketch_b"])
         return _score_kernel(
             batch["url_a"].to_pylist(),
             batch["url_b"].to_pylist(),
             batch["title_a"].to_pylist(),
             batch["title_b"].to_pylist(),
-            [np.frombuffer(s, dtype=np.uint64) for s in batch["sketch_a"].to_pylist()],
-            [np.frombuffer(s, dtype=np.uint64) for s in batch["sketch_b"].to_pylist()],
+            mat_a, len_a, mat_b, len_b,
             threshold,
             sketch_k,
         )
@@ -144,31 +217,22 @@ def score_pairs(
     return joined.map_batches(score, batch_format="pyarrow")
 
 
-def _score_kernel(ua, ub, ta, tb, sa, sb, threshold: float, sketch_k: int) -> pa.Table:
-    """``sa``/``sb``: per-pair uint64 sketch arrays (views are fine).
-    Emits each pair with url_a < url_b lexicographically (pair identity is
-    uid-ordered upstream; scoring features are symmetric, so swapping
-    sides never changes the score)."""
-    swap = [i for i in range(len(ua)) if ub[i] < ua[i]]
-    if swap:
-        ua, ub, ta, tb, sa, sb = list(ua), list(ub), list(ta), list(tb), list(sa), list(sb)
-        for i in swap:
-            ua[i], ub[i] = ub[i], ua[i]
-            ta[i], tb[i] = tb[i], ta[i]
-            sa[i], sb[i] = sb[i], sa[i]
-    n = len(ua)
-    jac = np.empty(n, dtype=np.float64)
-    jwt = np.empty(n, dtype=np.float64)
-    jwu = np.empty(n, dtype=np.float64)
-    for i in range(n):
-        jac[i] = sketch_jaccard(sa[i], sb[i], sketch_k)
-        jwt[i] = jaro_winkler(ta[i], tb[i])
-        jwu[i] = jaro_winkler(ua[i], ub[i])
+def _score_kernel(
+    ua, ub, ta, tb, mat_a, len_a, mat_b, len_b, threshold: float, sketch_k: int
+) -> pa.Table:
+    """``mat_a``/``mat_b``: (n × k) uint64 sketch matrices padded with
+    ``SKETCH_PAD``; ``len_a``/``len_b`` valid widths. All three scoring
+    features are symmetric, so sides are scored as given and only the
+    OUTPUT urls are emitted in lexicographic order (pair identity is
+    uid-ordered upstream)."""
+    jac = sketch_jaccard_batch(mat_a, len_a, mat_b, len_b, sketch_k)
+    jwt = jaro_winkler_batch(ta, tb)
+    jwu = jaro_winkler_batch(ua, ub)
     sc = W_JACCARD * jac + W_TITLE * jwt + W_URL * jwu
     return pa.table(
         {
-            "url_a": pa.array(ua, pa.string()),
-            "url_b": pa.array(ub, pa.string()),
+            "url_a": pa.array(list(map(min, ua, ub)), pa.string()),
+            "url_b": pa.array(list(map(max, ua, ub)), pa.string()),
             "jaccard": pa.array(jac),
             "jw_title": pa.array(jwt),
             "jw_url": pa.array(jwu),
@@ -178,46 +242,37 @@ def _score_kernel(ua, ub, ta, tb, sa, sb, threshold: float, sketch_k: int) -> pa
     )
 
 
-# Per-worker-process cache of the broadcast feature index, keyed by the
+# Per-worker-process cache of the broadcast feature table, keyed by the
 # object ref hex. Scoring runs as stateless TASKS (full-width instantly,
-# no actor-pool ramp); each worker builds the url→row index once on first
-# touch. The sketch payload is one contiguous uint64 matrix — ray.get
-# maps it ZERO-COPY from shared memory per node (a dict of per-url tuples
-# would be re-pickled per worker: measured ~45 MB × pool size of pure
-# unpickle overhead).
+# no actor-pool ramp). The payload is Arrow arrays + one contiguous
+# uint64 sketch matrix, sorted by uid — ray.get maps the buffers
+# ZERO-COPY from shared memory per node, and per-batch row lookup is a
+# vectorized searchsorted instead of a Python dict probe per pair.
 _FEAT_CACHE: dict = {}
 
 
-def _feat_index(features_ref):
+def _feat_payload(features_ref):
     key = features_ref.hex()
     if key not in _FEAT_CACHE:
         import ray
 
-        uids, urls, titles, mat, lens = ray.get(features_ref)
         _FEAT_CACHE.clear()  # one live broadcast per worker is plenty
-        _FEAT_CACHE[key] = (
-            {u: i for i, u in enumerate(uids)},
-            urls,
-            titles,
-            mat,
-            lens,
-        )
+        _FEAT_CACHE[key] = ray.get(features_ref)
     return _FEAT_CACHE[key]
 
 
 def _score_broadcast_batch(
     batch: pa.Table, features_ref, threshold: float, sketch_k: int
 ) -> pa.Table:
-    idx, urls, titles, mat, lens = _feat_index(features_ref)
-    ia = [idx[u] for u in batch["uid_a"].to_pylist()]
-    ib = [idx[u] for u in batch["uid_b"].to_pylist()]
+    uids, urls, titles, mat, lens = _feat_payload(features_ref)
+    ia = np.searchsorted(uids, batch["uid_a"].to_numpy(zero_copy_only=False))
+    ib = np.searchsorted(uids, batch["uid_b"].to_numpy(zero_copy_only=False))
     return _score_kernel(
-        [urls[i] for i in ia],
-        [urls[i] for i in ib],
-        [titles[i] for i in ia],
-        [titles[i] for i in ib],
-        [mat[i, : lens[i]] for i in ia],
-        [mat[i, : lens[i]] for i in ib],
+        urls.take(pa.array(ia)).to_pylist(),
+        urls.take(pa.array(ib)).to_pylist(),
+        titles.take(pa.array(ia)).to_pylist(),
+        titles.take(pa.array(ib)).to_pylist(),
+        mat[ia], lens[ia], mat[ib], lens[ib],
         threshold,
         sketch_k,
     )
@@ -226,26 +281,28 @@ def _score_broadcast_batch(
 def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int):
     import ray
 
-    uids: list[int] = []
-    urls: list[str] = []
-    titles: list[str] = []
-    sketch_rows: list[bytes] = []
-    for b in features_ds.select_columns(["uid", "url", "title", "sketch"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        uids.extend(b["uid"].to_pylist())
-        urls.extend(b["url"].to_pylist())
-        titles.extend(b["title"].to_pylist())
-        sketch_rows.extend(b["sketch"].to_pylist())
-    n = len(urls)
-    lens = np.array([len(s) // 8 for s in sketch_rows], dtype=np.int64)
-    mat = np.zeros((n, sketch_k), dtype=np.uint64)
-    for i, s in enumerate(sketch_rows):
-        row = np.frombuffer(s, dtype=np.uint64)
-        mat[i, : row.size] = row
+    tbl = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in features_ds.select_columns(["uid", "url", "title", "sketch"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    ).combine_chunks()
+    order = pc.sort_indices(tbl["uid"])
+    tbl = tbl.take(order)
+    mat, lens = pad_sketch_column(tbl["sketch"], width=sketch_k)
+    ref = ray.put(
+        (
+            tbl["uid"].to_numpy(zero_copy_only=False),
+            tbl["url"].combine_chunks(),
+            tbl["title"].combine_chunks(),
+            mat,
+            lens,
+        )
+    )
     import functools
 
-    ref = ray.put((uids, urls, titles, mat, lens))
     return pairs_ds.map_batches(
         functools.partial(
             _score_broadcast_batch,

@@ -109,3 +109,34 @@ def test_rolling_fingerprints_deterministic_and_bounded(toks):
     assert f1 == f2
     assert len(f1) <= 8
     assert f1 == sorted(f1)
+
+
+@given(st.lists(st.tuples(texts, texts), min_size=1, max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_jaro_winkler_batch_matches_scalar(pairs):
+    got = T.jaro_winkler_batch([a for a, _ in pairs], [b for _, b in pairs])
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == T.jaro_winkler(a, b)
+
+
+sketch_sets = st.lists(
+    st.integers(min_value=0, max_value=2**64 - 1), max_size=40, unique=True
+)
+
+
+@given(st.lists(st.tuples(sketch_sets, sketch_sets), min_size=1, max_size=20),
+       st.integers(min_value=1, max_value=200))
+@settings(max_examples=150, deadline=None)
+def test_sketch_jaccard_batch_matches_scalar(pairs, k):
+    import pyarrow as pa
+
+    from mdmpublic_ray.stages.scoring import (
+        pad_sketch_column, sketch_jaccard, sketch_jaccard_batch)
+
+    sk_a = [np.array(sorted(a), dtype=np.uint64) for a, _ in pairs]
+    sk_b = [np.array(sorted(b), dtype=np.uint64) for _, b in pairs]
+    mat_a, len_a = pad_sketch_column(pa.array([x.tobytes() for x in sk_a], pa.binary()))
+    mat_b, len_b = pad_sketch_column(pa.array([x.tobytes() for x in sk_b], pa.binary()))
+    got = sketch_jaccard_batch(mat_a, len_a, mat_b, len_b, k)
+    for i in range(len(pairs)):
+        assert got[i] == sketch_jaccard(sk_a[i], sk_b[i], k)
