@@ -189,11 +189,13 @@ def q_events_json_k(sf_dir: str):
     projection analog) from the ``props`` JSON-string column."""
     ds = read_table(sf_dir, "events", columns=["event_id", "props"])
 
-    def pluck(df: pd.DataFrame) -> pd.DataFrame:
-        ks = df["props"].map(lambda s: int(json.loads(s)["k"]))
-        return pd.DataFrame({"event_id": df["event_id"], "k": ks.astype("int64")})
+    def pluck(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        return pa.table(
+            {"event_id": t["event_id"], "k": pc.cast(pc.struct_field(m, "k"), pa.int64())}
+        )
 
-    return ds.map_batches(pluck, batch_format="pandas")
+    return ds.map_batches(pluck, batch_format="pyarrow")
 
 
 SQL_JSON_K = """
@@ -472,15 +474,16 @@ def q_customer_revenue(sf_dir: str):
     import ray
 
     cust = read_table_arrow(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
-    lookup = {
-        k: (n, m)
-        for k, n, m in zip(
-            cust["c_custkey"].to_pylist(),
-            cust["c_name"].to_pylist(),
-            cust["c_mktsegment"].to_pylist(),
+    cust = cust.take(pc.sort_indices(cust["c_custkey"]))
+    # broadcast sorted key vector + Arrow payload columns; per-batch attach
+    # is a vectorized searchsorted, not a dict probe per row
+    ref = ray.put(
+        (
+            cust["c_custkey"].to_numpy(zero_copy_only=False),
+            cust["c_name"].combine_chunks(),
+            cust["c_mktsegment"].combine_chunks(),
         )
-    }
-    ref = ray.put(lookup)
+    )
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
@@ -498,20 +501,17 @@ def q_customer_revenue(sf_dir: str):
         def __init__(self, ref):
             import ray as _ray
 
-            self.lookup = _ray.get(ref)
+            self.keys, self.names, self.segs = _ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["c_custkey"].to_pylist()
-            names, segs = [], []
-            for k in keys:
-                n, m = self.lookup[k]
-                names.append(n)
-                segs.append(m)
+            idx = pa.array(
+                np.searchsorted(self.keys, t["c_custkey"].to_numpy(zero_copy_only=False))
+            )
             return pa.table(
                 {
                     "c_custkey": t["c_custkey"],
-                    "c_name": pa.array(names),
-                    "c_mktsegment": pa.array(segs),
+                    "c_name": self.names.take(idx),
+                    "c_mktsegment": self.segs.take(idx),
                     "revenue": pc.divide(pc.cast(t["rev_c"], pa.float64()), 100.0),
                     "n_orders": t["n_orders"],
                 }
@@ -548,17 +548,17 @@ ORDER BY revenue DESC, c_custkey ASC LIMIT 5
 _EARLY_SHIP_CUT = "1995-03-01"
 
 
-def _early_shipped_partkeys(sf_dir: str) -> set:
+def _early_shipped_partkeys(sf_dir: str) -> pa.Array:
     """Distinct l_partkey shipped before the cutoff — computed
     distributed (filter pushed to the read + shuffle-distinct), collected
-    small, then broadcast."""
+    small as an Arrow value set, then broadcast."""
     ds = read_table(
         sf_dir,
         "lineitem",
         columns=["l_partkey"],
         filter=(pc.field("l_shipdate") < pa.scalar(pd.Timestamp(_EARLY_SHIP_CUT))),
     )
-    return set(ds.unique("l_partkey"))
+    return pa.array(ds.unique("l_partkey"), pa.int64())
 
 
 def q_parts_never_early_shipped(sf_dir: str):
@@ -573,8 +573,7 @@ def q_parts_never_early_shipped(sf_dir: str):
 
     def anti(t: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        mask = pa.array([k not in keys for k in t["p_partkey"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.invert(pc.is_in(t["p_partkey"], value_set=keys)))
 
     return part.map_batches(anti, batch_format="pyarrow")
 
@@ -596,8 +595,7 @@ def q_parts_early_shipped(sf_dir: str):
 
     def semi(t: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        mask = pa.array([k in keys for k in t["p_partkey"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.is_in(t["p_partkey"], value_set=keys))
 
     return part.map_batches(semi, batch_format="pyarrow")
 
@@ -616,10 +614,13 @@ def q_segment_revenue(sf_dir: str):
     import ray
 
     cust = read_table_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    seg_of = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    cust = cust.take(pc.sort_indices(cust["c_custkey"]))
+    ref = ray.put(
+        (
+            cust["c_custkey"].to_numpy(zero_copy_only=False),
+            cust["c_mktsegment"].combine_chunks(),
+        )
     )
-    ref = ray.put(seg_of)
 
     li = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
@@ -627,7 +628,12 @@ def q_segment_revenue(sf_dir: str):
 
     def prep_li(t: pa.Table) -> pa.Table:
         disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_orderkey": t["l_orderkey"], "rev_c": cents(disc, 10_000)})
+        t = pa.table({"l_orderkey": t["l_orderkey"], "rev_c": cents(disc, 10_000)})
+        # map-side combiner: ~4 lineitems share an order, so summing per
+        # orderkey inside the batch shrinks the join's shuffle volume ~4×
+        # before any exchange; the post-join groupby re-sums across batches
+        g = t.group_by("l_orderkey").aggregate([("rev_c", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_c"])
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     j = li.map_batches(prep_li, batch_format="pyarrow").join(
@@ -635,9 +641,9 @@ def q_segment_revenue(sf_dir: str):
     )
 
     def attach(t: pa.Table) -> pa.Table:
-        seg = ray.get(ref)
-        segs = [seg[k] for k in t["o_custkey"].to_pylist()]
-        return pa.table({"c_mktsegment": pa.array(segs), "rev_c": t["rev_c"]})
+        keys, segs = ray.get(ref)
+        idx = pa.array(np.searchsorted(keys, t["o_custkey"].to_numpy(zero_copy_only=False)))
+        return pa.table({"c_mktsegment": segs.take(idx), "rev_c": t["rev_c"]})
 
     agg = partial_sum_groupby(
         j.map_batches(attach, batch_format="pyarrow"),
@@ -873,37 +879,24 @@ SQL_DOCS_LANG_COUNTS = "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
 
 
 def q_similar_doc_pairs(sf_dir: str):
-    """N-gram/token Jaccard near-dup pairs within (lang, source) blocks —
-    the SQL-checkable cousin of MinHash dedup (D5). Jaccard over DISTINCT
-    token sets; threshold 0.5; pairs ordered doc_id_a < doc_id_b."""
+    """Token-Jaccard near-dup pairs within (lang, source) blocks — the
+    SQL-checkable cousin of MinHash dedup (D5), computed with the EXACT
+    prefix-filtering set-similarity join (stages/simjoin.py): candidate
+    groups are per rare prefix token, never a whole (lang, source) block,
+    so one giant (en, web) block no longer means all-pairs. Jaccard over
+    DISTINCT token sets; threshold 0.5; pairs ordered doc_id_a < doc_id_b."""
+    from ..stages.simjoin import jaccard_set_join
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "text"])
 
     def add_key(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(t["lang"], t["source"], "|")
         return t.append_column("blk", key)
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b = [], []
-        for _, g in df.groupby("blk", sort=False):
-            ids = g["doc_id"].to_numpy()
-            sets = [frozenset(T.tokens(t)) for t in g["text"]]
-            order = np.argsort(ids)
-            for ii in range(len(order)):
-                i = order[ii]
-                for jj in range(ii + 1, len(order)):
-                    j = order[jj]
-                    if T.jaccard(sets[i], sets[j]) >= 0.5:
-                        rows_a.append(int(ids[i]))
-                        rows_b.append(int(ids[j]))
-        return pd.DataFrame(
-            {
-                "doc_id_a": pd.Series(rows_a, dtype="int64"),
-                "doc_id_b": pd.Series(rows_b, dtype="int64"),
-            }
-        )
-
     ds = ds.map_batches(add_key, batch_format="pyarrow")
-    return bucketed_map_groups(ds, "blk", pairs).select_columns(["doc_id_a", "doc_id_b"])
+    return jaccard_set_join(
+        ds, id_col="doc_id", text_col="text", block_col="blk", threshold=0.5
+    ).select_columns(["doc_id_a", "doc_id_b"])
 
 
 SQL_SIMILAR_DOC_PAIRS = """
@@ -950,10 +943,15 @@ SELECT query_vec_id, neighbor_vec_id, rank FROM ranked WHERE rank <= 10
 def q_embeddings_neardup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (dedup family): all pairs
     with cosine >= 0.45, ids only so the oracle compare is float-free.
-    Exact baseline; the LSH-bucketed scale path is ``knn_cosine_lsh``."""
-    from ..stages.ann import cosine_neardup_pairs
+    EXACT, computed with the triangle-tiled all-pairs join
+    (stages/simjoin.py): per-task memory is two blocks' matrices, not a
+    whole-corpus broadcast. ``cosine_neardup_pairs`` (ann.py) remains the
+    small-corpus broadcast baseline; the approximate scale path is
+    ``knn_cosine_lsh``."""
+    from ..stages.simjoin import cosine_pairs_tiled
 
-    return cosine_neardup_pairs(sf_dir, tau=0.45)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_pairs_tiled(ds, tau=0.45, n_blocks=4)
 
 
 SQL_EMBEDDINGS_NEARDUP = """
