@@ -134,23 +134,9 @@ def minhash_signatures_batch(
     return out
 
 
-def lsh_band_keys(sig: np.ndarray, n_bands: int) -> list[str]:
-    """LSH band keys "b:<band>:<hex digest of the band's rows>" for one sig.
-
-    Docs agreeing on all rows of any band share a key ⇒ candidate pair.
-    """
-    rows = sig.shape[0] // n_bands
-    keys = []
-    for band in range(n_bands):
-        chunk = sig[band * rows : (band + 1) * rows]
-        digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-        keys.append(f"b:{band}:{digest}")
-    return keys
-
-
 def lsh_band_ids(sig: np.ndarray, n_bands: int) -> np.ndarray:
     """Fixed-width int64 LSH band keys for one signature (the shuffle-key
-    form of ``lsh_band_keys``): id = blake2b(band_index ‖ band_rows)[:8]
+    form): id = blake2b(band_index ‖ band_rows)[:8]
     masked positive. 8-byte keys shuffle ~3× lighter than the hex-string
     form and group/sort at integer speed — the difference is material when
     every document emits n_bands keys. 64-bit collisions across 10^12 docs

@@ -234,6 +234,14 @@ def rolling_fingerprints(toks: list[str], window: int = 4, keep: int = 8) -> lis
     return hs[:keep]
 
 
+def humanize_duration(seconds: int) -> str:
+    """Seconds → ``"Hh MMm SSs"`` (M12; the duration humanizer of
+    ``ssh_login_report.sh:38-49``). Oracle-reproducible via DuckDB
+    ``printf('%dh %02dm %02ds', ...)``."""
+    s = int(seconds)
+    return f"{s // 3600}h {(s % 3600) // 60:02d}m {s % 60:02d}s"
+
+
 def quality_features(text: str) -> dict[str, float]:
     """Heuristic quality-scoring features for one document (pure fn).
 

@@ -75,18 +75,20 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
 
         ck = CheckpointRunner(cfg.checkpoint_dir, cfg.run_id)
 
-    def stage(name, make, parents=()):
+    def stage(name, make, parents=(), params=None):
         """Stage boundary. With a checkpoint dir: parquet + manifest +
-        skip-if-valid. Without: ``materialize()`` — the pipeline DAG is a
-        diamond (deduped feeds extraction+nodes+golden; features feeds
-        blocking+scoring; edges is consumed repeatedly by the CC loop), so
-        un-pinned branch points would re-execute the whole upstream
-        lineage once per consumer. These intermediates are O(unique urls)
-        / O(candidate pairs) — they spill to the object store, not the
-        driver heap."""
+        skip-if-valid (``params`` — the stage-relevant config — is part
+        of the manifest, so a changed threshold/seed/cap invalidates the
+        stage even when parents are unchanged). Without: ``materialize()``
+        — the pipeline DAG is a diamond (deduped feeds
+        extraction+nodes+golden; features feeds blocking+scoring; edges is
+        consumed repeatedly by the CC loop), so un-pinned branch points
+        would re-execute the whole upstream lineage once per consumer.
+        These intermediates are O(unique urls) / O(candidate pairs) — they
+        spill to the object store, not the driver heap."""
         if ck is None:
             return make().materialize()
-        return ck.run_stage(name, make, parents=parents)
+        return ck.run_stage(name, make, parents=parents, params=params)
 
     def make_deduped():
         # prune at the start: the input table may carry a `text` column
@@ -121,7 +123,11 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             concurrency=cfg.extract_concurrency,
         )
 
-    deduped = stage("deduped", make_deduped)
+    deduped = stage(
+        "deduped",
+        make_deduped,
+        params={"extract_before_dedup": cfg.extract_before_dedup},
+    )
     if deduped.count() == 0:
         return _empty_outputs()
 
@@ -131,20 +137,21 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             deduped, concurrency=cfg.features_concurrency, seed=cfg.seed
         ),
         parents=("deduped",),
+        params={"seed": cfg.seed},
     )
     hot_hosts: dict = {}
     if cfg.salt_hot_hosts:
-        from ..stages.blocking import hot_host_sizes
-
-        hot_hosts = hot_host_sizes(
-            deduped.select_columns(["url"]), cfg.max_block_size
-        )
+        hot_hosts = _hot_hosts_checkpointed(stage, deduped, cfg)
     blocks = stage(
         "blocks",
         lambda: block_keys_stage(
             features, hot_hosts=hot_hosts, max_block_size=cfg.max_block_size
         ),
-        parents=("features",),
+        parents=("features", "hot_hosts") if cfg.salt_hot_hosts else ("features",),
+        params={
+            "max_block_size": cfg.max_block_size,
+            "salt_hot_hosts": cfg.salt_hot_hosts,
+        },
     )
     pairs = stage(
         "pairs",
@@ -152,6 +159,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             blocks, max_block_size=cfg.max_block_size, n_buckets=cfg.n_buckets
         ),
         parents=("blocks",),
+        params={"max_block_size": cfg.max_block_size},
     )
     def make_scored():
         import ray.data as rd
@@ -179,7 +187,12 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             threshold=cfg.threshold,
         )
 
-    scored = stage("scored", make_scored, parents=("pairs", "features"))
+    scored = stage(
+        "scored",
+        make_scored,
+        parents=("pairs", "features"),
+        params={"threshold": cfg.threshold},
+    )
     edges = scored.map_batches(
         lambda t: t.filter(t["is_match"]).select(["url_a", "url_b"]),
         batch_format="pyarrow",
@@ -194,6 +207,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             max_rounds=cfg.max_cc_rounds,
         ),
         parents=("scored", "deduped"),
+        params={"max_cc_rounds": cfg.max_cc_rounds},
     )
     golden = stage(
         "golden",
@@ -212,6 +226,40 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         "edges": edges,
         "clusters": clusters,
         "golden": golden,
+    }
+
+
+def _hot_hosts_checkpointed(stage, deduped, cfg: ERConfig) -> dict:
+    """Hot-host sizes as a checkpointed stage: a fully-resumed run skips
+    the scan+groupby and re-reads the (tiny) table, and the hot-host
+    input to blocking is covered by recorded lineage. A sentinel row
+    ("", -1) guarantees the parquet checkpoint is never zero-row (an
+    empty stage directory cannot be re-read)."""
+    from ..stages.blocking import hot_host_sizes
+
+    def make():
+        import ray.data as rd
+
+        hh = hot_host_sizes(deduped.select_columns(["url"]), cfg.max_block_size)
+        hosts = [""] + list(hh.keys())
+        sizes = [-1] + [int(v) for v in hh.values()]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array(hosts, pa.string()),
+                    "n_pages": pa.array(sizes, pa.int64()),
+                }
+            )
+        )
+
+    hot_ds = stage(
+        "hot_hosts",
+        make,
+        parents=("deduped",),
+        params={"max_block_size": cfg.max_block_size},
+    )
+    return {
+        r["host"]: r["n_pages"] for r in hot_ds.take_all() if r["n_pages"] >= 0
     }
 
 

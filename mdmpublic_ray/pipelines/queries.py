@@ -1072,6 +1072,237 @@ def q_pages_media_features(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Text-line log parsing (S5/S13 read_text source; M11 multi-pattern parse
+# + coalesce; M12 humanized durations) over the deterministic auth-log
+# fixture — the reference's ssh_login_report.sh:97-203 operator family.
+# --------------------------------------------------------------------------
+
+_LOG_HEAD_RE = r"^\w+ (?P<day>\d+) (?P<time>\d\d:\d\d:\d\d) (?P<host>\S+) sshd\[(?P<pid>\d+)\]: "
+_LOG_ACC_RE = r"Accepted (?P<method>\w+) for (?P<user>\w+) from (?P<ip>[0-9.]+) port (?P<port>\d+) ssh2"
+_LOG_FAIL_INV_RE = r"Failed password for invalid user (?P<user>\w+) from (?P<ip>[0-9.]+) port (?P<port>\d+) ssh2"
+_LOG_FAIL_RE = r"Failed password for (?P<user>\w+) from (?P<ip>[0-9.]+) port (?P<port>\d+) ssh2"
+
+
+def _auth_lines():
+    from ..sources.textlog import read_log_lines
+
+    return read_log_lines()
+
+
+def _parse_auth_batch(t: pa.Table) -> pa.Table:
+    """Multi-pattern regex parse + coalesce (M11): three extraction
+    patterns, fields coalesced across whichever matched."""
+    line = t["text"]
+    head = pc.extract_regex(line, pattern=_LOG_HEAD_RE)
+    acc = pc.extract_regex(line, pattern=_LOG_ACC_RE)
+    inv = pc.extract_regex(line, pattern=_LOG_FAIL_INV_RE)
+    fl = pc.extract_regex(line, pattern=_LOG_FAIL_RE)
+
+    def f(m, name):
+        return pc.struct_field(m, name)
+
+    username = pc.coalesce(f(acc, "user"), f(inv, "user"), f(fl, "user"))
+    out = pa.table(
+        {
+            "host": f(head, "host"),
+            "action": pc.if_else(
+                pc.is_valid(f(acc, "user")), pa.scalar("accepted"), pa.scalar("failed")
+            ),
+            "username": username,
+            "ip": pc.coalesce(f(acc, "ip"), f(inv, "ip"), f(fl, "ip")),
+            "port": pc.cast(
+                pc.coalesce(f(acc, "port"), f(inv, "port"), f(fl, "port")), pa.int64()
+            ),
+            "invalid": pc.is_valid(f(inv, "user")),
+        }
+    )
+    keep = pc.and_(pc.is_valid(out["username"]), pc.is_valid(out["host"]))
+    return out.filter(keep)
+
+
+def q_log_auth_events(sf_dir: str):
+    """read_text source → typed login-event table (S5/S13 + M11).
+    The fixture is sf-independent (one auth.log per machine, like the
+    reference's); ``sf_dir`` is part of the query contract but unused."""
+    return _auth_lines().map_batches(_parse_auth_batch, batch_format="pyarrow")
+
+
+def _sql_log_raw() -> str:
+    from ..sources.textlog import auth_log_path
+
+    return (
+        "SELECT line FROM read_csv('" + auth_log_path() + "', "
+        "columns={'line': 'VARCHAR'}, header=false, delim='\\t', quote='')"
+    )
+
+
+def _sql_log_auth_events() -> str:
+    return f"""
+WITH raw AS ({_sql_log_raw()}),
+p AS (SELECT
+  NULLIF(regexp_extract(line, '^\\w+ \\d+ \\d\\d:\\d\\d:\\d\\d (\\S+) sshd\\[', 1), '') AS host,
+  NULLIF(regexp_extract(line, 'Accepted \\w+ for (\\w+) from [0-9.]+ port \\d+ ssh2', 1), '') AS acc_user,
+  NULLIF(regexp_extract(line, 'Failed password for invalid user (\\w+) from [0-9.]+ port \\d+ ssh2', 1), '') AS inv_user,
+  NULLIF(regexp_extract(line, 'Failed password for (\\w+) from [0-9.]+ port \\d+ ssh2', 1), '') AS fail_user,
+  NULLIF(regexp_extract(line, 'from ([0-9.]+) port \\d+ ssh2', 1), '') AS ip,
+  NULLIF(regexp_extract(line, 'port (\\d+) ssh2', 1), '') AS port
+FROM raw)
+SELECT host,
+  CASE WHEN acc_user IS NOT NULL THEN 'accepted' ELSE 'failed' END AS action,
+  COALESCE(acc_user, inv_user, fail_user) AS username,
+  ip, CAST(port AS BIGINT) AS port, inv_user IS NOT NULL AS invalid
+FROM p
+WHERE COALESCE(acc_user, inv_user, fail_user) IS NOT NULL AND host IS NOT NULL
+"""
+
+
+def q_log_failed_by_ip(sf_dir: str):
+    """Failed-login counts per source ip (the ssh_login_report fail
+    summary): partial-sum combiner → small groupby."""
+    parsed = q_log_auth_events(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["action"], "failed"))
+        return pa.table(
+            {"ip": t["ip"], "n_invalid": pc.cast(t["invalid"], pa.int64())}
+        )
+
+    return partial_sum_groupby(
+        parsed.map_batches(prep, batch_format="pyarrow"),
+        ["ip"],
+        {"n_invalid": "n_invalid"},
+        "n_failed",
+    )
+
+
+def _sql_log_failed_by_ip() -> str:
+    return f"""
+SELECT ip, SUM(CAST(invalid AS BIGINT)) AS n_invalid, COUNT(*) AS n_failed
+FROM ({_sql_log_auth_events().strip()})
+WHERE action = 'failed' GROUP BY ip
+"""
+
+
+_LOG_OPEN_RE = (
+    r"^\w+ (?P<day>\d+) (?P<time>\d\d:\d\d:\d\d) (?P<host>\S+) sshd\[(?P<pid>\d+)\]: "
+    r"pam_unix\(sshd:session\): session opened for user (?P<user>\w+) by"
+)
+_LOG_CLOSE_RE = (
+    r"^\w+ (?P<day>\d+) (?P<time>\d\d:\d\d:\d\d) (?P<host>\S+) sshd\[(?P<pid>\d+)\]: "
+    r"pam_unix\(sshd:session\): session closed for user (?P<user>\w+)$"
+)
+
+
+def _log_secs(day, tm):
+    d = pc.cast(day, pa.int64())
+    hh = pc.cast(pc.utf8_slice_codeunits(tm, 0, 2), pa.int64())
+    mm = pc.cast(pc.utf8_slice_codeunits(tm, 3, 5), pa.int64())
+    ss = pc.cast(pc.utf8_slice_codeunits(tm, 6, 8), pa.int64())
+    return pc.add(
+        pc.multiply(d, 86400),
+        pc.add(pc.multiply(hh, 3600), pc.add(pc.multiply(mm, 60), ss)),
+    )
+
+
+def q_log_session_durations(sf_dir: str):
+    """PAM session open/close matching → per-session duration, humanized
+    (M12 + the reference's login-duration report). Join key is
+    (host, pid); durations in seconds plus an ``"Hh MMm SSs"`` string."""
+    from ..stages.util import bucketed_join
+
+    lines = _auth_lines()
+
+    def side(pattern: str, prefix: str):
+        def parse(t: pa.Table) -> pa.Table:
+            m = pc.extract_regex(t["text"], pattern=pattern)
+
+            def f(name):
+                return pc.struct_field(m, name)
+
+            hp = pc.binary_join_element_wise(f("host"), f("pid"), "|")
+            cols = {
+                f"{prefix}hp": hp,
+                f"{prefix}secs": _log_secs(f("day"), f("time")),
+            }
+            if prefix == "o_":
+                cols["host"] = f("host")
+                cols["pid"] = pc.cast(f("pid"), pa.int64())
+                cols["username"] = f("user")
+            out = pa.table(cols)
+            return out.filter(pc.is_valid(out[f"{prefix}hp"]))
+
+        return parse
+
+    opened = lines.map_batches(side(_LOG_OPEN_RE, "o_"), batch_format="pyarrow")
+    closed = lines.map_batches(side(_LOG_CLOSE_RE, "c_"), batch_format="pyarrow")
+    j = bucketed_join(opened, closed, "o_hp", "c_hp", n_buckets=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        dur = pc.subtract(t["c_secs"], t["o_secs"])
+        human = pa.array([T.humanize_duration(s) for s in dur.to_pylist()], pa.string())
+        return pa.table(
+            {
+                "host": t["host"],
+                "pid": t["pid"],
+                "username": t["username"],
+                "dur_sec": dur,
+                "duration_h": human,
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_log_session_durations() -> str:
+    secs = (
+        "CAST(regexp_extract(line, '^\\w+ (\\d+) ', 1) AS BIGINT) * 86400 + "
+        "CAST(substr(regexp_extract(line, '^\\w+ \\d+ (\\d\\d:\\d\\d:\\d\\d) ', 1), 1, 2) AS BIGINT) * 3600 + "
+        "CAST(substr(regexp_extract(line, '^\\w+ \\d+ (\\d\\d:\\d\\d:\\d\\d) ', 1), 4, 2) AS BIGINT) * 60 + "
+        "CAST(substr(regexp_extract(line, '^\\w+ \\d+ (\\d\\d:\\d\\d:\\d\\d) ', 1), 7, 2) AS BIGINT)"
+    )
+    return f"""
+WITH raw AS ({_sql_log_raw()}),
+o AS (SELECT regexp_extract(line, ' (\\S+) sshd\\[', 1) AS host,
+             CAST(regexp_extract(line, 'sshd\\[(\\d+)\\]', 1) AS BIGINT) AS pid,
+             regexp_extract(line, 'session opened for user (\\w+) by', 1) AS username,
+             {secs} AS o_secs
+      FROM raw WHERE line LIKE '%sshd[%' AND line LIKE '%session opened for user%'),
+c AS (SELECT regexp_extract(line, ' (\\S+) sshd\\[', 1) AS host,
+             CAST(regexp_extract(line, 'sshd\\[(\\d+)\\]', 1) AS BIGINT) AS pid,
+             {secs} AS c_secs
+      FROM raw WHERE line LIKE '%sshd[%' AND line LIKE '%session closed for user%')
+SELECT o.host, o.pid, o.username, c.c_secs - o.o_secs AS dur_sec,
+       printf('%dh %02dm %02ds', (c.c_secs - o.o_secs) // 3600,
+              ((c.c_secs - o.o_secs) % 3600) // 60,
+              (c.c_secs - o.o_secs) % 60) AS duration_h
+FROM o JOIN c ON o.host = c.host AND o.pid = c.pid
+"""
+
+
+def q_user_event_types(sf_dir: str):
+    """Grouped collect_set → sorted comma-joined string per key (A5/A7;
+    the per-host string-append reduce of enforce_all_nagios_check.sh)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)["event_type"].agg(
+            lambda s: ",".join(sorted(set(s)))
+        )
+        out = g.reset_index().rename(columns={"event_type": "types"})
+        out["n_types"] = out["types"].str.count(",") + 1
+        return out
+
+    return bucketed_map_groups(ds, "user_id", collect)
+
+
+SQL_USER_EVENT_TYPES = """
+SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1106,6 +1337,10 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "embedding_dims": q_embedding_dims,
     "embeddings_neardup": q_embeddings_neardup,
+    "log_auth_events": q_log_auth_events,
+    "log_failed_by_ip": q_log_failed_by_ip,
+    "log_session_durations": q_log_session_durations,
+    "user_event_types": q_user_event_types,
     # rows-only (no SQL oracle)
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "docs_langid": q_docs_langid,
@@ -1147,4 +1382,8 @@ ORACLE_SQL = {
     "knn_cosine": SQL_KNN,
     "embedding_dims": SQL_EMBEDDING_DIMS,
     "embeddings_neardup": SQL_EMBEDDINGS_NEARDUP,
+    "log_auth_events": _sql_log_auth_events(),
+    "log_failed_by_ip": _sql_log_failed_by_ip(),
+    "log_session_durations": _sql_log_session_durations(),
+    "user_event_types": SQL_USER_EVENT_TYPES,
 }

@@ -95,9 +95,10 @@ class ComputeFeatures:
     def __init__(self, num_perm: int = NUM_PERM, seed: int = 42) -> None:
         self.a, self.b = H.minhash_permutations(num_perm, seed=seed)
         self._seed = seed
+        self._num_perm = num_perm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return compute_features_batch(batch, seed=self._seed)
+        return compute_features_batch(batch, seed=self._seed, num_perm=self._num_perm)
 
 
 def features_stage(ds, *, concurrency=None, batch_size: int = 512, seed: int = 42):

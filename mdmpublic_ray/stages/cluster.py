@@ -130,7 +130,12 @@ def connected_components(
         )
 
     if n_edges <= local_threshold * 2:  # edges_sym holds both directions
-        return _local_components(edges_sym, nodes_ds)
+        result = _local_components(edges_sym, nodes_ds)
+        if checkpoint_fn is not None:
+            # the documented per-round contract: the local path has one
+            # "round" — surface its final labels to the caller's hook
+            checkpoint_fn(0, result)
+        return result
 
     # active set = distinct edge endpoints; labels init to self
     labels = (

@@ -139,10 +139,19 @@ def dedup_latest(
         )
 
     # the shuffle branch yields pandas blocks; the pass-through branch is
-    # arrow — unify to arrow or the downstream batcher asserts
+    # arrow — unify to arrow AND cast back to the input schema (pandas
+    # round-trips e.g. timestamp[us] → timestamp[ns]; a union of
+    # heterogeneous block schemas breaks downstream schema unification)
+    from .util import dataset_arrow_schema
+
+    base_schema = dataset_arrow_schema(ds)
+
+    def to_input_schema(df: pd.DataFrame) -> pa.Table:
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return t.select(base_schema.names).cast(base_schema)
+
     deduped_contested = full_shuffle(split(True)).map_batches(
-        lambda df: pa.Table.from_pandas(df, preserve_index=False),
-        batch_format="pandas",
+        to_input_schema, batch_format="pandas"
     )
     return split(False).union(deduped_contested)
 

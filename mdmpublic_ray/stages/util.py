@@ -13,6 +13,29 @@ from ..functions.hashing import crc32_array
 DEFAULT_BUCKETS = 64
 
 
+def as_arrow_type(t) -> pa.DataType:
+    """ray.data Schema types are pyarrow types for arrow-derived datasets
+    but numpy dtypes / Python classes for pandas-derived ones — normalize
+    to a pyarrow type."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t is str:
+        return pa.string()
+    if t is bytes:
+        return pa.binary()
+    dt = np.dtype(t)
+    if dt == np.dtype(object):
+        # pandas-produced blocks report strings as object dtype
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
+
+
+def dataset_arrow_schema(ds) -> pa.Schema:
+    """Best-effort pyarrow schema of a ray Dataset."""
+    s = ds.schema()
+    return pa.schema([(n, as_arrow_type(t)) for n, t in zip(s.names, s.types)])
+
+
 def default_partitions(cap: int = 32) -> int:
     """Shuffle-partition count sized to the cluster: Ray's hash-shuffle
     join spawns one aggregator actor per partition, so partitions ≫ CPUs
@@ -146,24 +169,9 @@ def bucketed_join(
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"bucketed_join column collision: {overlap}")
-    def _pa_type(t):
-        import pyarrow as _pa
-
-        if isinstance(t, _pa.DataType):
-            return t
-        if t is str:
-            return _pa.string()
-        if t is bytes:
-            return _pa.binary()
-        dt = np.dtype(t)
-        if dt == np.dtype(object):
-            # pandas-produced blocks report strings as object dtype
-            return _pa.string()
-        return _pa.from_numpy_dtype(dt)
-
-    ltypes = {c: _pa_type(t) for c, t in zip(lschema.names, lschema.types)}
+    ltypes = {c: as_arrow_type(t) for c, t in zip(lschema.names, lschema.types)}
     rtypes = {
-        c: _pa_type(t) for c, t in zip(rschema.names, rschema.types) if c != right_on
+        c: as_arrow_type(t) for c, t in zip(rschema.names, rschema.types) if c != right_on
     }
     all_cols = lcols + rcols
 

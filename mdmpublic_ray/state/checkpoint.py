@@ -62,11 +62,18 @@ class CheckpointRunner:
         except OSError:
             return None
 
-    def is_valid(self, name: str, parent_digests: dict[str, str | None] | None = None) -> bool:
+    def is_valid(
+        self,
+        name: str,
+        parent_digests: dict[str, str | None] | None = None,
+        params_digest: str | None = None,
+    ) -> bool:
         """A stage is valid iff its manifest exists, every fragment it
-        lists is present with the recorded size, and (when lineage is
-        tracked) the recorded parent-manifest digests match the parents'
-        CURRENT manifests."""
+        lists is present with the recorded size, (when lineage is tracked)
+        the recorded parent-manifest digests match the parents' CURRENT
+        manifests, and the recorded params digest matches the caller's
+        CURRENT stage parameters (a re-run with a changed config must not
+        serve stale outputs)."""
         mp = self._manifest_path(name)
         if not os.path.exists(mp):
             return False
@@ -77,6 +84,8 @@ class CheckpointRunner:
             return False
         if parent_digests is not None and man.get("parents", {}) != parent_digests:
             return False
+        if params_digest is not None and man.get("params_digest") != params_digest:
+            return False
         sd = self._stage_dir(name)
         for frag in man.get("fragments", []):
             p = os.path.join(sd, frag["path"])
@@ -84,16 +93,32 @@ class CheckpointRunner:
                 return False
         return True
 
-    def run_stage(self, name: str, make, parents: tuple[str, ...] = ()):
+    def run_stage(
+        self,
+        name: str,
+        make,
+        parents: tuple[str, ...] = (),
+        params: dict | None = None,
+    ):
         """Return a Dataset for stage ``name``: re-read the checkpoint when
         valid, else build via ``make()``, write, manifest, and re-read.
         ``parents`` names upstream stages; their manifest digests are
-        recorded for lineage-aware invalidation."""
+        recorded for lineage-aware invalidation. ``params``: the
+        JSON-serializable stage-relevant config — its digest is part of
+        the manifest, so changing a threshold/seed/cap invalidates the
+        stage even when every parent is unchanged."""
         import ray.data as rd
 
         parent_digests = {p: self.manifest_digest(p) for p in parents}
+        params_digest = (
+            hashlib.sha256(
+                json.dumps(params, sort_keys=True).encode()
+            ).hexdigest()
+            if params is not None
+            else None
+        )
         sd = self._stage_dir(name)
-        if self.is_valid(name, parent_digests):
+        if self.is_valid(name, parent_digests, params_digest):
             self.skipped.append(name)
             return self._read(sd)
 
@@ -116,6 +141,7 @@ class CheckpointRunner:
             "rows": rows,
             "fragments": frags,
             "parents": parent_digests,
+            "params_digest": params_digest,
             "wall_seconds": round(wall, 3),
             "created_unix": int(time.time()),
         }
@@ -130,6 +156,13 @@ class CheckpointRunner:
         os.replace(tmp, sd)  # atomic publish
         self.ran.append(name)
         return self._read(sd)
+
+    def stage_names(self) -> list[str]:
+        return sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(self.dir)
+            if d.startswith("stage=") and os.path.isdir(os.path.join(self.dir, d))
+        )
 
     def _read(self, sd: str):
         """Re-read a checkpointed stage.
@@ -172,3 +205,86 @@ class CheckpointRunner:
             partitioning=None,
             override_num_blocks=blocks,
         )
+
+
+def _stage_value_digest(stage_dir: str) -> str:
+    """Order-insensitive digest of a stage's parquet VALUES: per-row
+    pandas hashes summed (commutative), so shuffle-nondeterministic row
+    and fragment order hashes identically. Full-read cost — deep mode
+    only; fine for validating modest stages, sampling at 100 TB."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    total = 0
+    for frag in _fragments(stage_dir):
+        df = pq.read_table(os.path.join(stage_dir, frag["path"])).to_pandas()
+        df = df[sorted(df.columns)]
+        if len(df):
+            total = (total + int(pd.util.hash_pandas_object(df, index=False).sum())) & (
+                (1 << 64) - 1
+            )
+    return f"{total:016x}"
+
+
+def manifest_diff(base_dir: str, run_a: str, run_b: str, *, deep: bool = False):
+    """Run-over-run state diff (ST6 / §2.9; the monitor family's "what
+    changed since the last run" — ``monitor_server_filechanges.sh:154-159``
+    diffs the current inotify snapshot against the previous one).
+
+    Compares the per-stage manifests of two runs under ``base_dir`` and
+    returns one row per stage: ``status`` ∈ {added, removed, changed,
+    same}. Manifest-level identity is (rows, params_digest) — fragment
+    sizes and order vary run-to-run under parallel shuffle writes, and
+    wall-clock fields are per-run noise. ``deep=True`` additionally
+    compares an order-insensitive digest of the parquet values (reads
+    both runs' data — the cksum-diff of ``sync_http_repo_server.sh``).
+    """
+    import pyarrow as pa
+
+    a = CheckpointRunner(base_dir, run_a)
+    b = CheckpointRunner(base_dir, run_b)
+
+    def content(runner: CheckpointRunner, name: str):
+        try:
+            with open(runner._manifest_path(name)) as f:
+                man = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        out = {
+            "rows": man.get("rows"),
+            "params_digest": man.get("params_digest"),
+        }
+        if deep:
+            out["value_digest"] = _stage_value_digest(runner._stage_dir(name))
+        return out
+
+    names = sorted(set(a.stage_names()) | set(b.stage_names()))
+    rows = []
+    for name in names:
+        ca, cb = content(a, name), content(b, name)
+        if ca is None and cb is None:
+            continue
+        if ca is None:
+            status = "added"
+        elif cb is None:
+            status = "removed"
+        elif ca == cb:
+            status = "same"
+        else:
+            status = "changed"
+        rows.append(
+            {
+                "stage": name,
+                "status": status,
+                "rows_a": -1 if ca is None else int(ca["rows"] or 0),
+                "rows_b": -1 if cb is None else int(cb["rows"] or 0),
+            }
+        )
+    return pa.table(
+        {
+            "stage": pa.array([r["stage"] for r in rows], pa.string()),
+            "status": pa.array([r["status"] for r in rows], pa.string()),
+            "rows_a": pa.array([r["rows_a"] for r in rows], pa.int64()),
+            "rows_b": pa.array([r["rows_b"] for r in rows], pa.int64()),
+        }
+    )

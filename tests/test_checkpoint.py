@@ -132,3 +132,63 @@ def test_mid_run_kill_resumes_from_partial_state(ck_env):
         assert os.path.getmtime(os.path.join(run_dir, f"stage={s}", "_manifest.json")) == t, (
             f"{s} should have been skipped"
         )
+
+
+def test_changed_params_invalidate_stage(ck_env):
+    """Re-running with a different ERConfig must NOT serve stale stage
+    outputs even though every parent manifest is unchanged."""
+    from mdmpublic_ray.state.checkpoint import CheckpointRunner
+
+    pages, cfg, run_dir = ck_env
+    run_er(pages, cfg)
+    ck = CheckpointRunner(cfg.checkpoint_dir, cfg.run_id)
+    scored_before = json.load(
+        open(os.path.join(run_dir, "stage=scored", "_manifest.json"))
+    )
+
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, threshold=0.9)
+    out = run_er(pages, cfg2)
+    out["golden"].count()
+    scored_after = json.load(
+        open(os.path.join(run_dir, "stage=scored", "_manifest.json"))
+    )
+    # scored re-ran under the new threshold (fresh manifest, new digest)
+    assert scored_after["params_digest"] != scored_before["params_digest"]
+    # and upstream stages with unchanged params were still skipped
+    ck2 = CheckpointRunner(cfg.checkpoint_dir, cfg.run_id)
+    assert "deduped" not in ck2.ran
+
+
+def test_hot_hosts_stage_is_checkpointed(ck_env):
+    pages, cfg, run_dir = ck_env
+    run_er(pages, cfg)
+    man = json.load(
+        open(os.path.join(run_dir, "stage=hot_hosts", "_manifest.json"))
+    )
+    assert man["rows"] >= 1  # sentinel row guarantees non-empty
+
+
+def test_manifest_diff_between_runs(ray_session, corpus_dir, tmp_path):
+    import dataclasses
+
+    import ray.data as rd
+
+    from mdmpublic_ray.state.checkpoint import manifest_diff
+
+    pages = rd.read_parquet(f"{corpus_dir}/pages.parquet")
+    ckdir = str(tmp_path / "ckd")
+    cfg_a = ERConfig(num_partitions=8, n_buckets=16, checkpoint_dir=ckdir, run_id="a")
+    run_er(pages, cfg_a)
+    # run b: higher threshold → scored/clusters/golden content changes
+    cfg_b = dataclasses.replace(cfg_a, run_id="b", threshold=0.95)
+    run_er(pages, cfg_b)
+
+    diff = manifest_diff(ckdir, "a", "b", deep=True).to_pandas().set_index("stage")
+    # upstream deterministic stages are content-identical run over run
+    assert diff.loc["deduped", "status"] == "same"
+    assert diff.loc["features", "status"] == "same"
+    # the thresholded stage differs (params digest at minimum)
+    assert diff.loc["scored", "status"] == "changed"
+    assert set(diff["status"]) <= {"same", "changed", "added", "removed"}

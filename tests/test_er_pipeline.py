@@ -84,3 +84,37 @@ def test_golden_records(er_result):
     pred = out["clusters"].to_pandas().set_index("url")["cluster_id"]
     for cid, cu in zip(golden["cluster_id"], golden["canonical_url"]):
         assert pred[cu] == cid
+
+
+def test_contested_dedup_branch_preserves_schema(ray_session):
+    """The opt-in contested-key dedup path unions a pandas-round-tripped
+    branch with pass-through Arrow blocks; both must carry the INPUT
+    schema (timestamp[us] stays us, not ns) or downstream unification
+    breaks."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.stages.dedup import dedup_latest
+
+    ts = pa.array(
+        [dt.datetime(2024, 1, 1, i) for i in range(6)], pa.timestamp("us")
+    )
+    tbl = pa.table(
+        {
+            "url": pa.array(["a", "a", "b", "c", "d", "e"]),
+            "warc_ts": ts,
+            "text": pa.array([f"t{i}" for i in range(6)]),
+        }
+    )
+    out = dedup_latest(
+        rd.from_arrow(tbl), "url", "warc_ts", broadcast_threshold=100
+    )
+    got = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    assert got.schema.field("warc_ts").type == pa.timestamp("us")
+    assert got.num_rows == 5  # "a" deduped to its latest crawl
+    latest_a = got.filter(pa.compute.equal(got["url"], "a"))
+    assert latest_a["text"].to_pylist() == ["t1"]

@@ -38,11 +38,11 @@ def test_minhash_batch_matches_single():
         assert np.array_equal(batch[i], H.minhash_signature(s, a, b))
 
 
-def test_lsh_band_keys_agree_for_identical_sigs():
+def test_lsh_band_ids_agree_for_identical_sigs():
     a, b = H.minhash_permutations(128, seed=42)
     s = H.minhash_signature(H.shingle_hashes(T.tokens("x y z w v u t s r q")), a, b)
-    k1 = H.lsh_band_keys(s, 32)
-    k2 = H.lsh_band_keys(s.copy(), 32)
+    k1 = list(H.lsh_band_ids(s, 32))
+    k2 = list(H.lsh_band_ids(s.copy(), 32))
     assert k1 == k2 and len(k1) == 32
 
 
