@@ -1279,6 +1279,131 @@ FROM o JOIN c ON o.host = c.host AND o.pid = c.pid
 """
 
 
+_NOISE_SUBSTRINGS = ["CRON[", "pam_unix(cron:session)"]
+
+
+def q_log_noise_filtered(sf_dir: str):
+    """Substring-list row remover + blank stripper (M7/M8; the nmap
+    boilerplate dropper tcp_port_scan.py:37-47): keep only non-noise,
+    non-empty auth lines."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        line = t["text"]
+        noise = pc.match_substring(line, _NOISE_SUBSTRINGS[0])
+        for s in _NOISE_SUBSTRINGS[1:]:
+            noise = pc.or_(noise, pc.match_substring(line, s))
+        noise = pc.or_(noise, pc.equal(line, ""))
+        return pa.table({"line": line.filter(pc.invert(noise))})
+
+    return _auth_lines().map_batches(keep, batch_format="pyarrow")
+
+
+def _sql_log_noise_filtered() -> str:
+    return f"""
+SELECT line FROM ({_sql_log_raw()})
+WHERE NOT (line LIKE '%CRON[%' OR line LIKE '%pam_unix(cron:session)%' OR line = '')
+"""
+
+
+_PRIV_PATTERNS = ["^root$", "^deploy$", "^adm"]
+
+
+def q_log_privileged_accepts(sf_dir: str):
+    """Regex-whitelist classifier (M10; detect_suspicious_process.py:20-29
+    string_in_regex_list): accepted logins flagged when the username
+    matches any pattern of a fixed regex list (OR-fold)."""
+    parsed = q_log_auth_events(sf_dir)
+
+    def classify(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["action"], "accepted"))
+        u = t["username"]
+        priv = pc.match_substring_regex(u, _PRIV_PATTERNS[0])
+        for p in _PRIV_PATTERNS[1:]:
+            priv = pc.or_(priv, pc.match_substring_regex(u, p))
+        return pa.table(
+            {"host": t["host"], "username": u, "ip": t["ip"], "is_privileged": priv}
+        )
+
+    return parsed.map_batches(classify, batch_format="pyarrow")
+
+
+def _sql_log_privileged_accepts() -> str:
+    return f"""
+SELECT host, username, ip,
+       (regexp_matches(username, '^root$') OR regexp_matches(username, '^deploy$')
+        OR regexp_matches(username, '^adm')) AS is_privileged
+FROM ({_sql_log_auth_events().strip()}) WHERE action = 'accepted'
+"""
+
+
+def q_hosts_any_invalid(sf_dir: str):
+    """Boolean any() reduce per key (A6; enforce_all_nagios_check's
+    per-host "did anything fail" flag): per host, whether ANY failed
+    login used an invalid user, plus event count."""
+    parsed = q_log_auth_events(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"host": t["host"], "inv": pc.cast(t["invalid"], pa.int64())}
+        )
+
+    agg = partial_sum_groupby(
+        parsed.map_batches(prep, batch_format="pyarrow"),
+        ["host"],
+        {"inv": "inv"},
+        "n_events",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["host"],
+                "any_invalid": pc.greater(t["inv"], 0),
+                "n_events": t["n_events"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_hosts_any_invalid() -> str:
+    return f"""
+SELECT host, bool_or(invalid) AS any_invalid, COUNT(*) AS n_events
+FROM ({_sql_log_auth_events().strip()}) GROUP BY host
+"""
+
+
+_STALE_ANCHOR = "1995-06-01"
+_STALE_DAYS = 90
+
+
+def q_urgent_stale_orders(sf_dir: str):
+    """Date-math threshold filter (A9; the retention cutoffs of
+    backup_dir.sh:127-160 — "older than N days"): urgent orders placed
+    more than 90 days before the anchor date."""
+    cutoff = pd.Timestamp(_STALE_ANCHOR) - pd.Timedelta(days=_STALE_DAYS)
+    ds = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") < pa.scalar(cutoff))
+        & (pc.field("o_orderpriority") == "1-URGENT"),
+    )
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "o_orderdate": t["o_orderdate"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_URGENT_STALE_ORDERS = f"""
+SELECT o_orderkey, o_orderdate FROM orders
+WHERE o_orderdate < TIMESTAMP '{_STALE_ANCHOR}' - INTERVAL {_STALE_DAYS} DAY
+  AND o_orderpriority = '1-URGENT'
+"""
+
+
 def q_user_event_types(sf_dir: str):
     """Grouped collect_set → sorted comma-joined string per key (A5/A7;
     the per-host string-append reduce of enforce_all_nagios_check.sh)."""
@@ -1340,6 +1465,10 @@ QUERIES = {
     "log_auth_events": q_log_auth_events,
     "log_failed_by_ip": q_log_failed_by_ip,
     "log_session_durations": q_log_session_durations,
+    "log_noise_filtered": q_log_noise_filtered,
+    "log_privileged_accepts": q_log_privileged_accepts,
+    "hosts_any_invalid": q_hosts_any_invalid,
+    "urgent_stale_orders": q_urgent_stale_orders,
     "user_event_types": q_user_event_types,
     # rows-only (no SQL oracle)
     "knn_cosine_lsh": q_knn_cosine_lsh,
@@ -1385,5 +1514,9 @@ ORACLE_SQL = {
     "log_auth_events": _sql_log_auth_events(),
     "log_failed_by_ip": _sql_log_failed_by_ip(),
     "log_session_durations": _sql_log_session_durations(),
+    "log_noise_filtered": _sql_log_noise_filtered(),
+    "log_privileged_accepts": _sql_log_privileged_accepts(),
+    "hosts_any_invalid": _sql_hosts_any_invalid(),
+    "urgent_stale_orders": SQL_URGENT_STALE_ORDERS,
     "user_event_types": SQL_USER_EVENT_TYPES,
 }

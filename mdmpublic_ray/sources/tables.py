@@ -23,10 +23,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kw):
-    """ray.data.read_parquet with column pruning (SURVEY §2.1 mapping)."""
+    """ray.data.read_parquet with column pruning (SURVEY §2.1 mapping).
+
+    The driver's parquet carries a ``pandas`` schema-metadata blob; Ray's
+    per-worker schema dedup can't hash it and logs a warning per block.
+    Stripping it is metadata-only (zero-copy) and fuses with the next map.
+    """
     import ray.data as rd
 
-    return rd.read_parquet(table_path(sf_dir, name), columns=columns, **kw)
+    def strip_md(t):
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    return rd.read_parquet(table_path(sf_dir, name), columns=columns, **kw).map_batches(
+        strip_md, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def read_table_arrow(sf_dir: str, name: str, columns: list[str] | None = None):
