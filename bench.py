@@ -246,9 +246,57 @@ def _scaling() -> None:
     )
 
 
+def _scaling_curve() -> None:
+    """Three-width scaling curve (VERDICT r1 alternative evidence): the
+    identical job at num_cpus in {4, 8, 16, 32}, fresh processes, plus a
+    least-squares fit of T(n) = F + C/n. A fabric-only floor shows up as
+    F >> 0 with C/n tracking the measured walls; the fit's F is the
+    cpu-count-invariant part (object store / memory bus / driver), the
+    resource a multi-node cluster multiplies but one box cannot.
+    """
+    import subprocess
+
+    import numpy as np
+
+    here = os.path.abspath(__file__)
+    _scaling_corpus()
+    widths = [int(w) for w in os.environ.get("GRAFT_CURVE_WIDTHS", "4,8,16,32").split(",")]
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    rows = []
+    for ncpu in widths:
+        runs = []
+        for _ in range(repeats):
+            r = subprocess.run(
+                [sys.executable, here, "--scaling-child", str(ncpu)],
+                capture_output=True, text=True, check=True,
+            )
+            runs.append(json.loads(r.stdout.strip().splitlines()[-1]))
+        rows.append(min(runs, key=lambda x: x["wall_sec"]))
+    n = np.array([r["num_cpus"] for r in rows], dtype=float)
+    t = np.array([r["wall_sec"] for r in rows], dtype=float)
+    # least squares T = F + C/n
+    A = np.stack([np.ones_like(n), 1.0 / n], axis=1)
+    (F, C), *_ = np.linalg.lstsq(A, t, rcond=None)
+    fit = F + C / n
+    print(json.dumps({
+        "metric": "scaling_curve",
+        "widths": [int(x) for x in n],
+        "wall_sec": [round(float(x), 2) for x in t],
+        "fit_floor_F_sec": round(float(F), 2),
+        "fit_compute_C_core_sec": round(float(C), 1),
+        "fit_wall_sec": [round(float(x), 2) for x in fit],
+        "fit_residual_pct": [round(100 * float(abs(a - b) / b), 1) for a, b in zip(fit, t)],
+        "floor_share_at_32": round(float(F / (F + C / 32)), 3),
+        "note": "T(n) = F + C/n; F is the cpu-count-invariant fabric floor "
+                "(plasma/memory-bus/driver) — the resource real nodes multiply.",
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--scaling-curve" in sys.argv:
+        _scaling_curve()
     elif "--scaling" in sys.argv:
         _scaling()
     else:

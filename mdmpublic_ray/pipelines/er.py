@@ -95,11 +95,21 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         # (input_hint schema) but the pipeline re-derives text from html
         # (byte-identity invariant) — carrying it through the dedup
         # shuffle would move ~45% more bytes for nothing.
-        cols = pages_ds.schema().names
+        src = pages_ds
+        try:
+            nb = src.num_blocks()  # known for from_arrow/materialized;
+        except Exception:          # lazy reads raise — they split themselves
+            nb = None
+        if nb is not None and nb < cfg.num_partitions:
+            # a driver-built table (from_arrow) arrives as ONE block and
+            # map parallelism is block-bound — extraction would serialize
+            # onto one core; one cheap repartition restores cluster width
+            src = src.repartition(cfg.num_partitions)
+        cols = src.schema().names
         slim = (
-            pages_ds.select_columns([c for c in cols if c != "text"])
+            src.select_columns([c for c in cols if c != "text"])
             if "text" in cols
-            else pages_ds
+            else src
         )
         if cfg.extract_before_dedup:
             # extract FIRST (map tasks — scales with the cluster; the
@@ -131,6 +141,25 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
     if deduped.count() == 0:
         return _empty_outputs()
 
+    # hot-host discovery only needs `deduped` — run it on a driver thread
+    # CONCURRENTLY with the features stage (independent datasets, separate
+    # streaming executors; the hot scan is latency- not CPU-bound, so it
+    # hides entirely behind the feature computation).
+    hot_box: dict = {}
+    hot_err: list = []
+    hot_thread = None
+    if cfg.salt_hot_hosts:
+        import threading
+
+        def _hot_bg():
+            try:
+                hot_box.update(_hot_hosts_checkpointed(stage, deduped, cfg))
+            except BaseException as exc:  # surfaced after join
+                hot_err.append(exc)
+
+        hot_thread = threading.Thread(target=_hot_bg, daemon=True)
+        hot_thread.start()
+
     features = stage(
         "features",
         lambda: features_stage(
@@ -140,8 +169,11 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         params={"seed": cfg.seed},
     )
     hot_hosts: dict = {}
-    if cfg.salt_hot_hosts:
-        hot_hosts = _hot_hosts_checkpointed(stage, deduped, cfg)
+    if hot_thread is not None:
+        hot_thread.join()
+        if hot_err:
+            raise hot_err[0]
+        hot_hosts = hot_box
     blocks = stage(
         "blocks",
         lambda: block_keys_stage(

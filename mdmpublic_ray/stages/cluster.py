@@ -39,29 +39,41 @@ LOCAL_EDGE_THRESHOLD = 1_000_000
 
 
 def _local_components(edges_sym, nodes_ds):
-    """Driver-side union-find finish for small edge sets; labels are
-    broadcast back via ray.put and applied in one map pass."""
+    """Driver-side closure for small edge sets, fully vectorized: urls
+    are factorized to their LEXICOGRAPHIC RANKS (so min-label = min-url,
+    keeping cluster ids deterministic), then numpy min-label propagation
+    with pointer jumping runs to fixpoint — no per-edge Python. Labels
+    broadcast back as a pandas Series (C-speed hash map) and applied in
+    one map pass."""
+    import numpy as np
+    import pandas as pd
     import ray
 
-    parent: dict[str, str] = {}
+    batches = [pa.table(b) for b in edges_sym.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(batches).combine_chunks()
+    src = t["src"].to_pandas()
+    dst = t["dst"].to_pandas()
+    codes, uniques = pd.factorize(pd.concat([src, dst], ignore_index=True))
+    uniq = np.asarray(uniques, dtype=object)
+    # relabel factor codes by lexicographic rank of the url
+    order = np.argsort(uniq, kind="stable")  # rank → factor code
+    rank_of_code = np.empty(uniq.size, dtype=np.int64)
+    rank_of_code[order] = np.arange(uniq.size)
+    e = len(src)
+    a = rank_of_code[codes[:e]]
+    b = rank_of_code[codes[e:]]
+    url_of_rank = uniq[order]
 
-    def find(x: str) -> str:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for batch in edges_sym.iter_batches(batch_format="pyarrow"):
-        for s, d in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
-            rs, rd = find(s), find(d)
-            if rs != rd:  # union by lexical min → deterministic roots
-                if rs < rd:
-                    parent[rd] = rs
-                else:
-                    parent[rs] = rd
-    labels = {u: find(u) for u in list(parent)}
+    lbl = np.arange(uniq.size, dtype=np.int64)
+    for _ in range(64):  # pointer jumping: O(log n) rounds, bound is slack
+        old = lbl
+        nxt = lbl.copy()
+        np.minimum.at(nxt, a, lbl[b])  # edge relax (edges_sym is symmetric)
+        nxt = nxt[nxt]  # pointer jump
+        lbl = nxt
+        if np.array_equal(old, lbl):
+            break
+    labels = pd.Series(url_of_rank[lbl], index=url_of_rank)
     ref = ray.put(labels)
 
     class Label:
@@ -70,14 +82,13 @@ def _local_components(edges_sym, nodes_ds):
 
             self.labels = _ray.get(ref)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            urls = t["url"].to_pylist()
+        def __call__(self, tb: pa.Table) -> pa.Table:
+            urls = tb["url"].to_pandas()
+            cid = urls.map(self.labels).fillna(urls)
             return pa.table(
                 {
-                    "url": t["url"],
-                    "cluster_id": pa.array(
-                        [self.labels.get(u, u) for u in urls], pa.string()
-                    ),
+                    "url": tb["url"],
+                    "cluster_id": pa.array(cid.to_numpy(dtype=object), pa.string()),
                 }
             )
 

@@ -63,31 +63,34 @@ def golden_records(
     if broadcast_threshold and pages_ds.count() <= broadcast_threshold:
         import ray
 
-        cols = {"purl": [], "warc_ts": [], "lang": [], "text_len": []}
-        for b in slim.iter_batches(batch_format="pyarrow"):
-            for c in cols:
-                cols[c].extend(b[c].to_pylist())
-        lookup = {
-            u: (ts, lg, tl)
-            for u, ts, lg, tl in zip(
-                cols["purl"], cols["warc_ts"], cols["lang"], cols["text_len"]
+        # Arrow-native broadcast: the payload is the slim table's columns
+        # (one driver concat = memcpy, zero to_pylist loops); the attach
+        # is a hash lookup (pc.index_in) + takes — all C kernels.
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in slim.iter_batches(batch_format="pyarrow")]
+        ).combine_chunks()
+        ref = ray.put(
+            (
+                tbl["purl"].combine_chunks(),
+                tbl["warc_ts"].combine_chunks(),
+                tbl["lang"].combine_chunks(),
+                tbl["text_len"].combine_chunks(),
             )
-        }
-        ref = ray.put(lookup)
+        )
 
         def attach(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
             import ray as _ray
 
-            lk = _ray.get(ref)
-            urls = t["url"].to_pylist()
-            rows = [lk[u] for u in urls]
+            purl, ts, lg, tl = _ray.get(ref)
+            idx = pc.index_in(t["url"], value_set=purl)
             return pa.table(
                 {
                     "url": t["url"],
                     "cluster_id": t["cluster_id"],
-                    "warc_ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
-                    "lang": pa.array([r[1] for r in rows], pa.string()),
-                    "text_len": pa.array([r[2] for r in rows], pa.int64()),
+                    "warc_ts": ts.take(idx),
+                    "lang": lg.take(idx),
+                    "text_len": tl.take(idx),
                 }
             )
 

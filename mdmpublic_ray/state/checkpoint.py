@@ -288,3 +288,68 @@ def manifest_diff(base_dir: str, run_a: str, run_b: str, *, deep: bool = False):
             "rows_b": pa.array([r["rows_b"] for r in rows], pa.int64()),
         }
     )
+
+
+def apply_retention(
+    base_dir: str, *, keep_last: int = 3, max_age_days: float | None = None
+) -> list[str]:
+    """Checkpoint retention job (S11; ``backup_dir.sh:127-160`` — delete
+    archives older than N days, keep the newest).
+
+    Run directories under ``base_dir`` are aged by their newest stage
+    manifest's ``created_unix`` (directory mtime when no manifest). The
+    newest ``keep_last`` runs always survive; older ones are deleted, as
+    is anything beyond ``max_age_days`` (outside the keep set). Returns
+    the removed run ids (deterministic order: oldest first).
+    """
+    runs: list[tuple[float, str]] = []
+    for d in sorted(os.listdir(base_dir)):
+        p = os.path.join(base_dir, d)
+        if not os.path.isdir(p):
+            continue
+        newest = 0.0
+        for sd in os.listdir(p):
+            mp = os.path.join(p, sd, "_manifest.json")
+            try:
+                with open(mp) as f:
+                    newest = max(newest, float(json.load(f).get("created_unix", 0)))
+            except (OSError, json.JSONDecodeError, ValueError):
+                continue
+        if newest == 0.0:
+            newest = os.path.getmtime(p)
+        runs.append((newest, d))
+    runs.sort()
+    keep = {d for _, d in runs[-keep_last:]} if keep_last > 0 else set()
+    now = time.time()
+    removed = []
+    for ts, d in runs:
+        if d in keep:
+            continue
+        # outside the keep set: removed unconditionally when no age bound
+        # is given, else only once older than the bound
+        if max_age_days is None or (now - ts) > max_age_days * 86400:
+            shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
+def cadence_mode(weekday: int, *, full_day: int = 6) -> str:
+    """Backup-cadence policy (S9; ``cb_backup.py:62-93`` chooses
+    full/diff/accu by day-of-week): one weekly FULL run (fresh run_id —
+    every stage recomputes), DIFF otherwise (same run_id — valid stages
+    skip via their manifests). ``weekday``: 0=Monday … 6=Sunday."""
+    return "full" if weekday % 7 == full_day else "diff"
+
+
+def plan_run(base_dir: str, date_tag: str, weekday: int, *, full_day: int = 6) -> dict:
+    """Resolve the cadence policy into CheckpointRunner inputs: FULL days
+    open a fresh ``run_id`` (= date_tag); DIFF days resume the most
+    recent existing run (falling back to a fresh one when none exists)."""
+    mode = cadence_mode(weekday, full_day=full_day)
+    existing = sorted(
+        d for d in (os.listdir(base_dir) if os.path.isdir(base_dir) else [])
+        if os.path.isdir(os.path.join(base_dir, d))
+    )
+    if mode == "full" or not existing:
+        return {"mode": mode, "run_id": date_tag, "resumed": False}
+    return {"mode": mode, "run_id": existing[-1], "resumed": True}

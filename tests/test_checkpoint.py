@@ -192,3 +192,37 @@ def test_manifest_diff_between_runs(ray_session, corpus_dir, tmp_path):
     # the thresholded stage differs (params digest at minimum)
     assert diff.loc["scored", "status"] == "changed"
     assert set(diff["status"]) <= {"same", "changed", "added", "removed"}
+
+
+def test_retention_and_cadence(tmp_path):
+    """S11 retention + S9 cadence policy — pure-filesystem ops, no Ray."""
+    import time as _time
+
+    from mdmpublic_ray.state.checkpoint import (
+        apply_retention, cadence_mode, plan_run)
+
+    base = str(tmp_path / "runs")
+    os.makedirs(base)
+    # five runs with increasing manifest ages
+    now = int(_time.time())
+    for i, rid in enumerate(["r1", "r2", "r3", "r4", "r5"]):
+        sd = os.path.join(base, rid, "stage=x")
+        os.makedirs(sd)
+        with open(os.path.join(sd, "_manifest.json"), "w") as f:
+            json.dump({"created_unix": now - (5 - i) * 86400, "rows": 1,
+                       "fragments": []}, f)
+    removed = apply_retention(base, keep_last=2)
+    assert removed == ["r1", "r2", "r3"]
+    assert sorted(os.listdir(base)) == ["r4", "r5"]
+    # age bound: nothing outside keep is old enough → nothing removed
+    assert apply_retention(base, keep_last=1, max_age_days=30) == []
+
+    assert cadence_mode(6) == "full" and cadence_mode(2) == "diff"
+    # diff day resumes the newest existing run; full day opens a new one
+    p = plan_run(base, "2024-01-10", 2)
+    assert p == {"mode": "diff", "run_id": "r5", "resumed": True}
+    p = plan_run(base, "2024-01-14", 6)
+    assert p == {"mode": "full", "run_id": "2024-01-14", "resumed": False}
+    # diff with empty base falls back to fresh
+    p = plan_run(str(tmp_path / "none"), "2024-01-10", 2)
+    assert p["resumed"] is False
