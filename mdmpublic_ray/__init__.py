@@ -20,3 +20,8 @@ Library code NEVER calls ``ray.init()`` — sessions are owned by the driver,
 """
 
 __version__ = "0.1.0"
+
+from ._compat import ensure_fsspec_http_importable as _ensure_fsspec_http
+
+_ensure_fsspec_http()
+del _ensure_fsspec_http
