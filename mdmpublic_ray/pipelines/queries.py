@@ -1428,6 +1428,143 @@ FROM events GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# Corpus scrubbing (PII redaction, C4-style boilerplate removal) over the
+# deterministic multi-line web-page fixture (sources/webtext.py)
+# --------------------------------------------------------------------------
+
+
+def q_web_pii_redact(sf_dir: str):
+    """PII redaction: count + redact emails/phones/IPs with RE2 kernels
+    (M4/M9 family; the reference's sed-scrub ancestry
+    ssh_login_report.sh:97-110). Pure map — streams at any scale."""
+    from ..sources.webtext import read_webpages
+    from ..stages.scrub import redact_pii_batch
+
+    ds = read_webpages().drop_columns(["url"])
+    return ds.map_batches(redact_pii_batch, batch_format="pyarrow")
+
+
+def _sql_web_pii_redact() -> str:
+    from ..sources.webtext import webpages_path
+    from ..stages.scrub import EMAIL_RE, IP_RE, PHONE_RE
+
+    return f"""
+SELECT page_id,
+  len(regexp_extract_all(raw_text, '{EMAIL_RE}')) AS n_email,
+  len(regexp_extract_all(raw_text, '{PHONE_RE}')) AS n_phone,
+  len(regexp_extract_all(raw_text, '{IP_RE}')) AS n_ip,
+  regexp_replace(regexp_replace(regexp_replace(raw_text,
+      '{EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PHONE_RE}', '<PHONE>', 'g'),
+      '{IP_RE}', '<IP>', 'g') AS clean_text
+FROM read_parquet('{webpages_path()}')
+"""
+
+
+def q_web_boilerplate(sf_dir: str):
+    """C4-style line-level boilerplate removal (Raffel et al. 2020 rules:
+    ≥5 tokens, terminal punctuation, no cookie/javascript markers), as a
+    batch-local explode→filter→implode — no shuffle."""
+    from ..sources.webtext import read_webpages
+    from ..stages.scrub import drop_boilerplate_batch
+
+    ds = read_webpages().drop_columns(["url"])
+    return ds.map_batches(drop_boilerplate_batch, batch_format="pyarrow")
+
+
+def _sql_web_boilerplate() -> str:
+    from ..sources.webtext import webpages_path
+    from ..stages.scrub import MIN_LINE_TOKENS, TERMINAL_RE, TOKEN_RE
+
+    pred = (
+        f"len(regexp_extract_all(lower(l), '{TOKEN_RE}')) >= {MIN_LINE_TOKENS} "
+        f"AND regexp_matches(trim(l, ' '), '{TERMINAL_RE}') "
+        "AND NOT contains(lower(l), 'cookie') "
+        "AND NOT contains(lower(l), 'javascript')"
+    )
+    return f"""
+WITH t AS (SELECT page_id, string_split(raw_text, chr(10)) AS ls
+           FROM read_parquet('{webpages_path()}'))
+SELECT page_id, len(ls) AS n_lines,
+  len(list_filter(ls, l -> {pred})) AS n_kept,
+  array_to_string(list_filter(ls, l -> {pred}), chr(10)) AS clean_text
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data plumbing: deterministic splits, heavy hitters, quantiles
+# --------------------------------------------------------------------------
+
+_SPLIT_SALT = "split:"
+# md5 first-byte thresholds (hex strings compare lexicographically):
+# < 'cd' → train (~80%), < 'e6' → val (~10%), else test (~10%).
+_SPLIT_TRAIN_HI, _SPLIT_VAL_HI = "cd", "e6"
+
+
+def q_docs_split_assign(sf_dir: str):
+    """Deterministic hash-based train/val/test assignment (the
+    shard-stable sampling policy every training pipeline needs; T4/D
+    family). Pure map over md5(salt‖doc_id) — reproducible across runs,
+    engines and cluster sizes, no RNG state to ship."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h2 = df["doc_id"].map(
+            lambda i: hashlib.md5(f"{_SPLIT_SALT}{i}".encode()).hexdigest()[:2]
+        )
+        split = np.where(
+            h2 < _SPLIT_TRAIN_HI, "train", np.where(h2 < _SPLIT_VAL_HI, "val", "test")
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "split": split})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+SQL_DOCS_SPLIT_ASSIGN = f"""
+SELECT doc_id,
+  CASE WHEN substr(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_TRAIN_HI}' THEN 'train'
+       WHEN substr(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_VAL_HI}' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+_TOP_TOKENS_K = 20
+
+
+def q_docs_top_tokens(sf_dir: str):
+    """Corpus heavy hitters: global top-k tokens by frequency (A-family
+    reduce; vocabulary/stopword discovery). Map-side combine collapses
+    each batch to its distinct tokens BEFORE the groupby shuffle; the
+    top-k sort runs over ≤|vocab| rows. Total order (n desc, token asc)
+    makes the limit boundary unique."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+").explode()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index, "n": vc.to_numpy().astype("int64")})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(_TOP_TOKENS_K)
+
+
+SQL_DOCS_TOP_TOKENS = f"""
+SELECT tok AS token, COUNT(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT {_TOP_TOKENS_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1470,6 +1607,10 @@ QUERIES = {
     "hosts_any_invalid": q_hosts_any_invalid,
     "urgent_stale_orders": q_urgent_stale_orders,
     "user_event_types": q_user_event_types,
+    "web_pii_redact": q_web_pii_redact,
+    "web_boilerplate": q_web_boilerplate,
+    "docs_split_assign": q_docs_split_assign,
+    "docs_top_tokens": q_docs_top_tokens,
     # rows-only (no SQL oracle)
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "docs_langid": q_docs_langid,
@@ -1519,4 +1660,8 @@ ORACLE_SQL = {
     "hosts_any_invalid": _sql_hosts_any_invalid(),
     "urgent_stale_orders": SQL_URGENT_STALE_ORDERS,
     "user_event_types": SQL_USER_EVENT_TYPES,
+    "web_pii_redact": _sql_web_pii_redact(),
+    "web_boilerplate": _sql_web_boilerplate(),
+    "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
+    "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
 }
