@@ -971,6 +971,15 @@ def q_knn_cosine_lsh(sf_dir: str):
     return knn_cosine_lsh(sf_dir, n_queries=5, k=10)
 
 
+def q_knn_cosine_ivf(sf_dir: str):
+    """IVF approximate top-k (inverted lists from a spherical-k-means
+    coarse quantizer, nprobe-pruned scan; rows-only — recall vs the
+    brute-force baseline is asserted in tests/test_ann.py)."""
+    from ..stages.ann import knn_cosine_ivf
+
+    return knn_cosine_ivf(sf_dir, n_queries=5, k=10)
+
+
 def q_embedding_dims(sf_dir: str):
     """List-length projection (array family §2.8)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -1563,6 +1572,85 @@ FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM do
 GROUP BY tok ORDER BY n DESC, tok LIMIT {_TOP_TOKENS_K}
 """
 
+_QUANTILE_QS = ("0.25", "0.5", "0.75", "0.9", "0.99")
+
+
+def q_docs_len_quantiles(sf_dir: str):
+    """Exact corpus length quantiles WITHOUT a global sort: iterative
+    histogram refinement (stages/quantiles.py) — rank selection at
+    floor((n-1)*q), a few streaming passes over one projected column."""
+    from fractions import Fraction
+
+    from ..stages.quantiles import exact_quantiles
+
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+    res = exact_quantiles(ds, "n_chars", [Fraction(q) for q in _QUANTILE_QS])
+    return pa.table(
+        {
+            "q": pa.array([float(Fraction(q)) for q in _QUANTILE_QS], pa.float64()),
+            "value": pa.array([int(v) for _, v in res], pa.int64()),
+        }
+    )
+
+
+SQL_DOCS_LEN_QUANTILES = f"""
+WITH s AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) - 1 AS r,
+                  COUNT(*) OVER () AS c
+           FROM documents)
+SELECT CAST(q AS DOUBLE) AS q, n_chars AS value
+FROM s JOIN (VALUES ({'),('.join(_QUANTILE_QS)})) v(q)
+  ON s.r = CAST(floor((s.c - 1) * q) AS BIGINT)
+"""
+
+_DECON_W = 8  # shingle width (tokens)
+_DECON_BENCH_MAX_ID = 10  # benchmark set: doc_id < 10 (deterministic)
+
+
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag every document sharing an
+     8-token shingle with the benchmark set (docs with doc_id < 10).
+    The benchmark shingle set is built once, ``ray.put`` broadcast, and
+    probed per batch — a membership map, never a join shuffle. At real
+    scale the benchmark side (eval suites) is always the small side, so
+    this shape holds at 100 TB."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shingles(txt: str) -> set:
+        toks = T.tokens(txt)
+        return {
+            " ".join(toks[i : i + _DECON_W])
+            for i in range(len(toks) - _DECON_W + 1)
+        }
+
+    bench_rows = ds.filter(expr=f"doc_id < {_DECON_BENCH_MAX_ID}").take_all()
+    bench: set = set()
+    for r in bench_rows:
+        bench |= shingles(r["text"])
+    bench_ref = ray.put(bench)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        hit = df["text"].map(lambda s: not b.isdisjoint(shingles(s)))
+        return pd.DataFrame({"doc_id": df["doc_id"], "contaminated": hit.astype(bool)})
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+SQL_DOCS_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(t) - {_DECON_W - 2}, 1)),
+                                    i -> array_to_string(t[i:i+{_DECON_W - 1}], ' '))) AS g
+       FROM toks),
+b AS (SELECT DISTINCT g FROM sh WHERE doc_id < {_DECON_BENCH_MAX_ID}),
+hits AS (SELECT DISTINCT sh.doc_id FROM sh JOIN b USING (g))
+SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+FROM documents d
+"""
+
 
 # --------------------------------------------------------------------------
 # Registry
@@ -1611,8 +1699,11 @@ QUERIES = {
     "web_boilerplate": q_web_boilerplate,
     "docs_split_assign": q_docs_split_assign,
     "docs_top_tokens": q_docs_top_tokens,
+    "docs_len_quantiles": q_docs_len_quantiles,
+    "docs_decontaminate": q_docs_decontaminate,
     # rows-only (no SQL oracle)
     "knn_cosine_lsh": q_knn_cosine_lsh,
+    "knn_cosine_ivf": q_knn_cosine_ivf,
     "docs_langid": q_docs_langid,
     "docs_simhash": q_docs_simhash,
     "docs_minhash_clusters": q_docs_minhash_clusters,
@@ -1664,4 +1755,6 @@ ORACLE_SQL = {
     "web_boilerplate": _sql_web_boilerplate(),
     "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
     "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
+    "docs_len_quantiles": SQL_DOCS_LEN_QUANTILES,
+    "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
 }

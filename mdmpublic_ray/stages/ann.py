@@ -307,6 +307,121 @@ def knn_cosine_lsh(
     return bucketed_map_groups(partial, "query_vec_id", _merge_topk(k), n_buckets=8)
 
 
+def _kmeans_centroids(ds, n_centroids: int, n_iters: int) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained distributed: each
+    Lloyd iteration is one ``map_batches`` pass emitting per-batch
+    partial (sum-matrix, counts) — the driver combines K×d numbers, so
+    the reduce is tiny at any corpus size. Init = the K smallest
+    vec_ids (deterministic; ids are dense from 0 in the embeddings
+    table)."""
+    import ray
+
+    t0 = pa.concat_tables(
+        list(ds.filter(expr=f"vec_id < {n_centroids}").iter_batches(batch_format="pyarrow"))
+    )
+    cents = _normalize(_embedding_matrix(t0))
+    k = cents.shape[0]
+
+    for _ in range(n_iters):
+        ref = ray.put(cents)
+
+        def part(t: pa.Table, _ref=ref, _k=k) -> pa.Table:
+            c = ray.get(_ref)
+            m = _normalize(_embedding_matrix(t))
+            a = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros((_k, m.shape[1]))
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=_k).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(_k, dtype=np.int64)),
+                    "vsum": [row for row in sums],
+                    "cnt": pa.array(counts),
+                }
+            )
+
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, dtype=np.int64)
+        for row in ds.map_batches(part, batch_format="pyarrow").take_all():
+            sums[row["cid"]] += np.asarray(row["vsum"])
+            counts[row["cid"]] += row["cnt"]
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = _normalize(sums[nz] / counts[nz, None])
+    return cents
+
+
+class _IVFAssign:
+    """Nearest-centroid list id per vector (IVF partitioning key)."""
+
+    def __init__(self, cents_ref):
+        import ray
+
+        self.c = ray.get(cents_ref)  # (K, d), unit rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(batch))
+        a = np.argmax(m @ self.c.T, axis=1).astype(np.int64)
+        return batch.append_column("bucket_id", pa.array(a))
+
+
+def knn_cosine_ivf(
+    sf_dir: str,
+    *,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 5,
+):
+    """IVF approximate top-k: spherical-k-means coarse quantizer →
+    inverted lists keyed by nearest centroid → each query scans only its
+    ``nprobe`` closest lists. The list id doubles as the partitioning
+    key at 100 TB (write one parquet dir per list; a query touches
+    nprobe directories). Same pruned-scan + partial-top-k + grouped
+    merge machinery as the LSH path; recall vs brute force is asserted
+    in tests."""
+    import ray
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = _kmeans_centroids(ds, n_centroids, n_iters)
+
+    q = read_table_arrow(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        pa.compute.less(pa.compute.field("vec_id"), n_queries)
+    )
+    qmat = _embedding_matrix(q)
+    qn = _normalize(qmat)
+    order = np.argsort(-(qn @ cents.T), axis=1)  # (nq, K)
+    probe_sets = [row[:nprobe].astype(np.int64) for row in order]
+    union_lists = np.unique(np.concatenate(probe_sets))
+
+    queries_ref = ray.put(
+        (q["vec_id"].to_numpy(zero_copy_only=False), qmat, probe_sets)
+    )
+    cents_ref = ray.put(cents)
+
+    assigned = ds.map_batches(
+        _IVFAssign,
+        fn_constructor_kwargs={"cents_ref": cents_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    allowed = pa.array(sorted(int(b) for b in union_lists), pa.int64())
+    pruned = assigned.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["bucket_id"], value_set=allowed)),
+        batch_format="pyarrow",
+    )
+    partial = pruned.map_batches(
+        _BatchTopKLSH,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return bucketed_map_groups(partial, "query_vec_id", _merge_topk(k), n_buckets=8)
+
+
 def lsh_buckets(sf_dir: str, *, n_bits: int = 8, dim: int | None = None, seed: int = 42):
     """Assign each embedding an LSH bucket (random hyperplane signs).
     Neighbors concentrate in the same bucket; a query probes its bucket

@@ -82,3 +82,29 @@ def test_lsh_knn_is_deterministic(ray_session):
         ["query_vec_id", "rank"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_knn_recall_vs_brute_force(ray_session, brute):
+    from mdmpublic_ray.stages.ann import knn_cosine_ivf
+
+    approx = _to_pandas(knn_cosine_ivf(SF, n_queries=5, k=10, n_centroids=16, nprobe=4))
+    truth = set(zip(brute["query_vec_id"], brute["neighbor_vec_id"]))
+    got = set(zip(approx["query_vec_id"], approx["neighbor_vec_id"]))
+    recall = len(truth & got) / len(truth)
+    # nprobe/K = 4/16 of the corpus scanned; recall above the 25% scan
+    # fraction shows the inverted lists concentrate true neighbors.
+    assert recall >= 0.3, f"recall {recall}"
+    for _, g in approx.groupby("query_vec_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_ivf_knn_is_deterministic(ray_session):
+    from mdmpublic_ray.stages.ann import knn_cosine_ivf
+
+    a = _to_pandas(knn_cosine_ivf(SF, n_queries=3, k=5)).sort_values(
+        ["query_vec_id", "rank"]
+    ).reset_index(drop=True)
+    b = _to_pandas(knn_cosine_ivf(SF, n_queries=3, k=5)).sort_values(
+        ["query_vec_id", "rank"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -57,6 +57,7 @@ def test_query_matches_oracle(name, ray_session):
         "docs_minhash_clusters",
         "pages_media_features",
         "knn_cosine_lsh",
+        "knn_cosine_ivf",
     ],
 )
 def test_rows_only_queries_run(name, ray_session):
