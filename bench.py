@@ -84,6 +84,11 @@ def _run_bench() -> dict:
         "docs_minhash_clusters",
         "embeddings_neardup",
         "knn_cosine",
+        # round-2 training-data operators
+        "web_boilerplate",
+        "docs_top_tokens",
+        "docs_len_quantiles",
+        "knn_cosine_ivf",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

@@ -307,46 +307,41 @@ def knn_cosine_lsh(
     return bucketed_map_groups(partial, "query_vec_id", _merge_topk(k), n_buckets=8)
 
 
-def _kmeans_centroids(ds, n_centroids: int, n_iters: int) -> np.ndarray:
-    """Spherical k-means coarse quantizer, trained distributed: each
-    Lloyd iteration is one ``map_batches`` pass emitting per-batch
-    partial (sum-matrix, counts) — the driver combines K×d numbers, so
-    the reduce is tiny at any corpus size. Init = the K smallest
-    vec_ids (deterministic; ids are dense from 0 in the embeddings
-    table)."""
-    import ray
+def _kmeans_centroids(
+    ds, n_centroids: int, n_iters: int, *, train_cap: int = 100_000
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained on a bounded
+    DETERMINISTIC sample (crc32(vec_id)-gated — stable across runs and
+    cluster sizes), Lloyd iterations run locally in numpy. This is the
+    FAISS-style scale shape: the quantizer never needs the full corpus
+    (``train_cap`` vectors bound driver memory — 100k × d floats), and
+    only the single assignment pass touches all data."""
+    n = ds.count()  # metadata fast-path on parquet reads
+    if n > train_cap:
+        # crc32 is uniform: keep ≈ train_cap rows, deterministically
+        per_mil = max(1, int(1_000_000 * train_cap / n))
+        from ..functions.hashing import crc32_array
 
-    t0 = pa.concat_tables(
-        list(ds.filter(expr=f"vec_id < {n_centroids}").iter_batches(batch_format="pyarrow"))
-    )
-    cents = _normalize(_embedding_matrix(t0))
+        def gate(t: pa.Table, _p=per_mil) -> pa.Table:
+            h = crc32_array(t["vec_id"].to_pylist()) % np.uint32(1_000_000)
+            return t.filter(pa.array(h < _p))
+
+        sample_ds = ds.map_batches(gate, batch_format="pyarrow")
+    else:
+        sample_ds = ds
+    sample = pa.concat_tables(list(sample_ds.iter_batches(batch_format="pyarrow")))
+    ids = sample["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    m = _normalize(_embedding_matrix(sample))[order]
+
+    cents = m[:n_centroids].copy()  # deterministic init: smallest vec_ids
     k = cents.shape[0]
-
     for _ in range(n_iters):
-        ref = ray.put(cents)
-
-        def part(t: pa.Table, _ref=ref, _k=k) -> pa.Table:
-            c = ray.get(_ref)
-            m = _normalize(_embedding_matrix(t))
-            a = np.argmax(m @ c.T, axis=1)
-            sums = np.zeros((_k, m.shape[1]))
-            np.add.at(sums, a, m)
-            counts = np.bincount(a, minlength=_k).astype(np.int64)
-            return pa.table(
-                {
-                    "cid": pa.array(np.arange(_k, dtype=np.int64)),
-                    "vsum": [row for row in sums],
-                    "cnt": pa.array(counts),
-                }
-            )
-
+        a = np.argmax(m @ cents.T, axis=1)
         sums = np.zeros_like(cents)
-        counts = np.zeros(k, dtype=np.int64)
-        for row in ds.map_batches(part, batch_format="pyarrow").take_all():
-            sums[row["cid"]] += np.asarray(row["vsum"])
-            counts[row["cid"]] += row["cnt"]
+        np.add.at(sums, a, m)
+        counts = np.bincount(a, minlength=k)
         nz = counts > 0
-        cents = cents.copy()
         cents[nz] = _normalize(sums[nz] / counts[nz, None])
     return cents
 
@@ -363,6 +358,33 @@ class _IVFAssign:
         m = _normalize(_embedding_matrix(batch))
         a = np.argmax(m @ self.c.T, axis=1).astype(np.int64)
         return batch.append_column("bucket_id", pa.array(a))
+
+
+class _IVFScore:
+    """Fused assign → prune → partial-top-k in ONE actor stage: assign
+    each corpus vector its inverted-list id, drop vectors outside the
+    union of the queries' probe lists, score the survivors against the
+    broadcast query matrix. One scan, one actor pool — no intermediate
+    blocks ever hit the object store."""
+
+    def __init__(self, cents_ref, queries_ref, k: int):
+        import ray
+
+        self.c = ray.get(cents_ref)
+        qids, qmat, probe_sets = ray.get(queries_ref)
+        self.scorer = _BatchTopKLSH.__new__(_BatchTopKLSH)
+        self.scorer.qids = qids
+        self.scorer.q = _normalize(qmat)
+        self.scorer.probes = probe_sets
+        self.scorer.k = k
+        self.allowed = np.unique(np.concatenate(probe_sets))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(batch))
+        a = np.argmax(m @ self.c.T, axis=1).astype(np.int64)
+        batch = batch.append_column("bucket_id", pa.array(a))
+        batch = batch.filter(pa.array(np.isin(a, self.allowed)))
+        return self.scorer(batch)
 
 
 def knn_cosine_ivf(
@@ -393,27 +415,19 @@ def knn_cosine_ivf(
     qn = _normalize(qmat)
     order = np.argsort(-(qn @ cents.T), axis=1)  # (nq, K)
     probe_sets = [row[:nprobe].astype(np.int64) for row in order]
-    union_lists = np.unique(np.concatenate(probe_sets))
 
     queries_ref = ray.put(
         (q["vec_id"].to_numpy(zero_copy_only=False), qmat, probe_sets)
     )
     cents_ref = ray.put(cents)
 
-    assigned = ds.map_batches(
-        _IVFAssign,
-        fn_constructor_kwargs={"cents_ref": cents_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-    allowed = pa.array(sorted(int(b) for b in union_lists), pa.int64())
-    pruned = assigned.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t["bucket_id"], value_set=allowed)),
-        batch_format="pyarrow",
-    )
-    partial = pruned.map_batches(
-        _BatchTopKLSH,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+    partial = ds.map_batches(
+        _IVFScore,
+        fn_constructor_kwargs={
+            "cents_ref": cents_ref,
+            "queries_ref": queries_ref,
+            "k": k,
+        },
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 4),
