@@ -1602,6 +1602,65 @@ FROM s JOIN (VALUES ({'),('.join(_QUANTILE_QS)})) v(q)
   ON s.r = CAST(floor((s.c - 1) * q) AS BIGINT)
 """
 
+def q_web_line_dedup(sf_dir: str):
+    """Cross-document duplicate-line removal (MassiveText-style): a line
+    survives only at its globally-first (page_id, line_idx) occurrence.
+    Two minimal shuffles — per-distinct-line winner election with
+    map-side combine, then bucketed reassembly (stages/linededup.py)."""
+    from ..sources.webtext import read_webpages
+    from ..stages.linededup import dedup_lines
+
+    return dedup_lines(read_webpages().drop_columns(["url"]))
+
+
+def _sql_web_line_dedup() -> str:
+    from ..sources.webtext import webpages_path
+
+    p = webpages_path()
+    return f"""
+WITH e AS (
+  SELECT page_id, s.idx - 1 AS line_idx, s.line AS line
+  FROM (SELECT page_id,
+               unnest(list_transform(string_split(raw_text, chr(10)),
+                                     (x, i) -> struct_pack(idx := i, line := x))) AS s
+        FROM read_parquet('{p}'))
+),
+k AS (SELECT page_id, line_idx, line FROM e
+      QUALIFY row_number() OVER (PARTITION BY line ORDER BY page_id, line_idx) = 1),
+agg AS (SELECT page_id, COUNT(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+        FROM k GROUP BY page_id)
+SELECT p.page_id, coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM read_parquet('{p}') p LEFT JOIN agg a USING (page_id)
+"""
+
+
+_PACK_BUDGET = 2048
+
+
+def q_docs_pack_bins(sf_dir: str):
+    """Sequence packing: context-window bin per document via an EXACT
+    distributed prefix sum over token counts in doc_id order
+    (stages/packing.py) — concat-then-chunk training-data assembly."""
+    from ..stages.packing import pack_token_stream
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_token_stream(ds, budget=_PACK_BUDGET)
+
+
+SQL_DOCS_PACK_BINS = f"""
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+           FROM documents)
+SELECT doc_id, n_tokens,
+  coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    // {_PACK_BUDGET} AS bin_id
+FROM t
+"""
+
+
 _DECON_W = 8  # shingle width (tokens)
 _DECON_BENCH_MAX_ID = 10  # benchmark set: doc_id < 10 (deterministic)
 
@@ -1701,6 +1760,8 @@ QUERIES = {
     "docs_top_tokens": q_docs_top_tokens,
     "docs_len_quantiles": q_docs_len_quantiles,
     "docs_decontaminate": q_docs_decontaminate,
+    "web_line_dedup": q_web_line_dedup,
+    "docs_pack_bins": q_docs_pack_bins,
     # rows-only (no SQL oracle)
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "knn_cosine_ivf": q_knn_cosine_ivf,
@@ -1757,4 +1818,6 @@ ORACLE_SQL = {
     "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
     "docs_len_quantiles": SQL_DOCS_LEN_QUANTILES,
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
+    "web_line_dedup": _sql_web_line_dedup(),
+    "docs_pack_bins": SQL_DOCS_PACK_BINS,
 }
