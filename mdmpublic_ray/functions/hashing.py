@@ -166,3 +166,34 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> in
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+SPLIT_SALT = "split:"
+# md5 first-byte thresholds (hex strings compare lexicographically):
+# < 'cd' → train (~80%), < 'e6' → val (~10%), else test.
+SPLIT_TRAIN_HI, SPLIT_VAL_HI = "cd", "e6"
+
+
+def split_assign(ids) -> np.ndarray:
+    """Deterministic train/val/test label per id: salted-md5 bucket —
+    stable across runs, engines and cluster sizes (the DuckDB oracle
+    computes the identical expression)."""
+    import hashlib
+
+    import pandas as pd
+
+    h2 = pd.Series(ids).map(
+        lambda i: hashlib.md5(f"{SPLIT_SALT}{i}".encode()).hexdigest()[:2]
+    )
+    return np.where(
+        h2 < SPLIT_TRAIN_HI, "train", np.where(h2 < SPLIT_VAL_HI, "val", "test")
+    )
+
+
+def split_sql_case(id_expr: str) -> str:
+    """The DuckDB CASE expression matching ``split_assign``."""
+    h = f"substr(md5('{SPLIT_SALT}' || CAST({id_expr} AS VARCHAR)), 1, 2)"
+    return (
+        f"CASE WHEN {h} < '{SPLIT_TRAIN_HI}' THEN 'train' "
+        f"WHEN {h} < '{SPLIT_VAL_HI}' THEN 'val' ELSE 'test' END"
+    )

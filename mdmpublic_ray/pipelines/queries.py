@@ -1505,40 +1505,30 @@ FROM t
 # Training-data plumbing: deterministic splits, heavy hitters, quantiles
 # --------------------------------------------------------------------------
 
-_SPLIT_SALT = "split:"
-# md5 first-byte thresholds (hex strings compare lexicographically):
-# < 'cd' → train (~80%), < 'e6' → val (~10%), else test (~10%).
-_SPLIT_TRAIN_HI, _SPLIT_VAL_HI = "cd", "e6"
-
-
 def q_docs_split_assign(sf_dir: str):
     """Deterministic hash-based train/val/test assignment (the
     shard-stable sampling policy every training pipeline needs; T4/D
     family). Pure map over md5(salt‖doc_id) — reproducible across runs,
     engines and cluster sizes, no RNG state to ship."""
-    import hashlib
+    from ..functions.hashing import split_assign
 
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        h2 = df["doc_id"].map(
-            lambda i: hashlib.md5(f"{_SPLIT_SALT}{i}".encode()).hexdigest()[:2]
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "split": split_assign(df["doc_id"])}
         )
-        split = np.where(
-            h2 < _SPLIT_TRAIN_HI, "train", np.where(h2 < _SPLIT_VAL_HI, "val", "test")
-        )
-        return pd.DataFrame({"doc_id": df["doc_id"], "split": split})
 
     return ds.map_batches(assign, batch_format="pandas")
 
 
-SQL_DOCS_SPLIT_ASSIGN = f"""
-SELECT doc_id,
-  CASE WHEN substr(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_TRAIN_HI}' THEN 'train'
-       WHEN substr(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_VAL_HI}' THEN 'val'
-       ELSE 'test' END AS split
-FROM documents
-"""
+def _sql_docs_split_assign() -> str:
+    from ..functions.hashing import split_sql_case
+
+    return f"SELECT doc_id, {split_sql_case('doc_id')} AS split FROM documents"
+
+
+SQL_DOCS_SPLIT_ASSIGN = _sql_docs_split_assign()
 
 _TOP_TOKENS_K = 20
 
@@ -1634,6 +1624,23 @@ SELECT p.page_id, coalesce(a.n_kept, 0) AS n_kept,
        coalesce(a.clean_text, '') AS clean_text
 FROM read_parquet('{p}') p LEFT JOIN agg a USING (page_id)
 """
+
+
+def q_web_prep(sf_dir: str):
+    """The composed training-data prep pipeline (pipelines/webprep.py):
+    boilerplate → cross-doc line dedup → PII redact → token gate →
+    split assign, oracled END-TO-END as one CTE chain."""
+    from ..pipelines.webprep import run_web_prep
+    from ..sources.webtext import read_webpages
+
+    return run_web_prep(read_webpages().drop_columns(["url"]))
+
+
+def _sql_web_prep() -> str:
+    from ..pipelines.webprep import web_prep_oracle_sql
+    from ..sources.webtext import webpages_path
+
+    return web_prep_oracle_sql(webpages_path())
 
 
 _PACK_BUDGET = 2048
@@ -1762,6 +1769,7 @@ QUERIES = {
     "docs_decontaminate": q_docs_decontaminate,
     "web_line_dedup": q_web_line_dedup,
     "docs_pack_bins": q_docs_pack_bins,
+    "web_prep": q_web_prep,
     # rows-only (no SQL oracle)
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "knn_cosine_ivf": q_knn_cosine_ivf,
@@ -1820,4 +1828,5 @@ ORACLE_SQL = {
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "web_line_dedup": _sql_web_line_dedup(),
     "docs_pack_bins": SQL_DOCS_PACK_BINS,
+    "web_prep": _sql_web_prep(),
 }
