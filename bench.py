@@ -85,6 +85,7 @@ def _run_bench() -> dict:
         "embeddings_neardup",
         "knn_cosine",
         # round-2 training-data operators
+        "web_prep",
         "web_boilerplate",
         "docs_top_tokens",
         "docs_len_quantiles",
