@@ -1016,23 +1016,27 @@ def q_docs_langid(sf_dir: str):
 
 
 def q_docs_simhash(sf_dir: str):
-    """SimHash fingerprints (near-dup sketch; no SQL oracle)."""
-    from ..functions.hashing import simhash64, stable_u64
+    """SimHash fingerprints (near-dup sketch; no SQL oracle). Batched
+    kernel (one reduceat pass per 16-bit group) — bit-identical to the
+    scalar ``hashing.simhash64`` (asserted in tests/test_simhash_dedup.py)."""
+    from ..stages.simhash_dedup import simhash_text_batch
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sh(df: pd.DataFrame) -> pd.DataFrame:
-        vals = df["text"].map(
-            lambda s: format(
-                simhash64(
-                    np.array([stable_u64(t) for t in T.tokens(s)], dtype=np.uint64)
-                ),
-                "016x",
-            )
-        )
+        vals = [format(v, "016x") for v in simhash_text_batch(df["text"].tolist())]
         return pd.DataFrame({"doc_id": df["doc_id"], "simhash": vals})
 
     return ds.map_batches(sh, batch_format="pandas")
+
+
+def q_docs_simhash_clusters(sf_dir: str):
+    """SimHash near-dup clustering → (doc_id, rep_id): 4×16-bit band
+    buckets (exact recall at Hamming ≤ 3) → popcount verify → connected
+    components (rows-only; transitive closure is not SQL-expressible)."""
+    from ..stages.simhash_dedup import simhash_clusters
+
+    return simhash_clusters(sf_dir)
 
 
 def q_docs_minhash_clusters(sf_dir: str):
@@ -1775,6 +1779,7 @@ QUERIES = {
     "knn_cosine_ivf": q_knn_cosine_ivf,
     "docs_langid": q_docs_langid,
     "docs_simhash": q_docs_simhash,
+    "docs_simhash_clusters": q_docs_simhash_clusters,
     "docs_minhash_clusters": q_docs_minhash_clusters,
     "er_clusters": q_er_clusters,
     "er_golden": q_er_golden,

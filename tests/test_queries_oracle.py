@@ -54,6 +54,7 @@ def test_query_matches_oracle(name, ray_session):
     [
         "docs_langid",
         "docs_simhash",
+        "docs_simhash_clusters",
         "docs_minhash_clusters",
         "pages_media_features",
         "knn_cosine_lsh",
