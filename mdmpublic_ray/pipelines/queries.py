@@ -378,6 +378,79 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sliding_type_windows(sf_dir: str):
+    """Trailing 3-hour SLIDING window per event_type (§2.9 — the
+    hopping/sliding half of the streaming-window family; tumbling is
+    ``hourly_type_windows``). Evaluated at each populated hour bucket;
+    window = (h−2h … h], gaps handled exactly.
+
+    Scale plan: map-side tumbling partials collapse the raw stream to the
+    tiny (type, hour) bucket table BEFORE any shuffle; the rolling sum is
+    a vectorized cumsum/searchsorted over each type's sorted buckets —
+    per-type work is O(#hours), independent of event count."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        hours = df["ts"].to_numpy().astype("datetime64[s]").astype("int64") // 3600
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour_epoch": hours,
+                "value_c": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+
+    agg = partial_sum_groupby(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["event_type", "hour_epoch"],
+        {"value_c": "value_c"},
+        "n",
+    )
+
+    def roll(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, df in bucket.groupby("event_type", sort=False):
+            df = df.sort_values("hour_epoch")
+            h = df["hour_epoch"].to_numpy()
+            cn = df["n"].to_numpy().cumsum()
+            cv = df["value_c"].to_numpy().cumsum()
+            lo = np.searchsorted(h, h - 2, side="left")
+            n3 = cn - np.where(lo > 0, cn[lo - 1], 0)
+            v3 = cv - np.where(lo > 0, cv[lo - 1], 0)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_type": df["event_type"],
+                        "window_end": pd.to_datetime(h * 3600, unit="s").strftime(
+                            "%Y-%m-%d %H:00:00"
+                        ),
+                        "n3h": n3.astype("int64"),
+                        "sum_value_3h": v3 / 100.0,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    from ..stages.util import bucketed_map_groups
+
+    return bucketed_map_groups(agg, "event_type", roll)
+
+
+SQL_SLIDING_WINDOWS = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+         SUM(CAST(round(value*100) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+  strftime(h, '%Y-%m-%d %H:00:00') AS window_end,
+  CAST(SUM(n) OVER w AS BIGINT) AS n3h,
+  CAST(CAST(SUM(v) OVER w AS BIGINT) AS DOUBLE)/100 AS sum_value_3h
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY h
+             RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_daily_purchase_error_counts(sf_dir: str):
     """Full-outer comparison join (J5 — the two-sided file-tree compare
     compare_machine_report.sh:94-101): per-day purchase counts vs error
@@ -1190,7 +1263,8 @@ def q_log_failed_by_ip(sf_dir: str):
 
 def _sql_log_failed_by_ip() -> str:
     return f"""
-SELECT ip, SUM(CAST(invalid AS BIGINT)) AS n_invalid, COUNT(*) AS n_failed
+SELECT ip, CAST(SUM(CAST(invalid AS BIGINT)) AS BIGINT) AS n_invalid,
+       COUNT(*) AS n_failed
 FROM ({_sql_log_auth_events().strip()})
 WHERE action = 'failed' GROUP BY ip
 """
@@ -1534,6 +1608,58 @@ def _sql_docs_split_assign() -> str:
 
 SQL_DOCS_SPLIT_ASSIGN = _sql_docs_split_assign()
 
+_SAMPLE_SALT = "samp:"
+_SAMPLE_K = 20
+
+
+def q_docs_stratified_sample(sf_dir: str, k: int = _SAMPLE_K):
+    """Exact deterministic stratified sample: the k docs per ``lang``
+    with the smallest salted-md5 rank (the balanced-subset op of a
+    training-data pipeline — stable across runs, engines and cluster
+    sizes; no RNG state to ship).
+
+    Scale plan: each batch emits at most k rows PER LANG (per-batch
+    partial top-k — a combiner), so the final per-lang selection sees
+    ≤ k × #blocks rows, never the corpus; no global sort."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["rk", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(k)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang": df["lang"],
+                "rk": df["doc_id"].map(
+                    lambda i: hashlib.md5(f"{_SAMPLE_SALT}{i}".encode()).hexdigest()
+                ),
+            }
+        )
+        return topk(df)
+
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return topk(bucket)[["doc_id", "lang"]]
+
+    from ..stages.util import bucketed_map_groups
+
+    return bucketed_map_groups(part, "lang", final)
+
+
+SQL_DOCS_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY md5('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= {_SAMPLE_K}
+"""
+
 _TOP_TOKENS_K = 20
 
 
@@ -1665,9 +1791,9 @@ WITH t AS (SELECT doc_id,
                   len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
            FROM documents)
 SELECT doc_id, n_tokens,
-  coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-    // {_PACK_BUDGET} AS bin_id
+    // {_PACK_BUDGET} AS BIGINT) AS bin_id
 FROM t
 """
 
@@ -1737,6 +1863,7 @@ QUERIES = {
     "daily_type_counts": q_daily_type_counts,
     "distinct_event_types": q_distinct_event_types,
     "hourly_type_windows": q_hourly_type_windows,
+    "sliding_type_windows": q_sliding_type_windows,
     "purchase_asof_signup": q_purchase_asof_signup,
     "daily_purchase_error_counts": q_daily_purchase_error_counts,
     "customer_revenue": q_customer_revenue,
@@ -1768,6 +1895,7 @@ QUERIES = {
     "web_pii_redact": q_web_pii_redact,
     "web_boilerplate": q_web_boilerplate,
     "docs_split_assign": q_docs_split_assign,
+    "docs_stratified_sample": q_docs_stratified_sample,
     "docs_top_tokens": q_docs_top_tokens,
     "docs_len_quantiles": q_docs_len_quantiles,
     "docs_decontaminate": q_docs_decontaminate,
@@ -1797,6 +1925,7 @@ ORACLE_SQL = {
     "daily_type_counts": SQL_DAILY_TYPE,
     "distinct_event_types": SQL_DISTINCT_TYPES,
     "hourly_type_windows": SQL_HOURLY_WINDOWS,
+    "sliding_type_windows": SQL_SLIDING_WINDOWS,
     "purchase_asof_signup": SQL_PURCHASE_ASOF_SIGNUP,
     "daily_purchase_error_counts": SQL_DAILY_PURCHASE_ERROR,
     "customer_revenue": SQL_CUSTOMER_REVENUE,
@@ -1828,6 +1957,7 @@ ORACLE_SQL = {
     "web_pii_redact": _sql_web_pii_redact(),
     "web_boilerplate": _sql_web_boilerplate(),
     "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
+    "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
     "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
     "docs_len_quantiles": SQL_DOCS_LEN_QUANTILES,
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
