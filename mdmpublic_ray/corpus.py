@@ -267,6 +267,41 @@ def write_corpus(out_dir: str, **kw) -> dict[str, str]:
     return paths
 
 
+def split_base_delta(pages: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Deterministically split a pages table into (base, delta) for the
+    incremental-ER tests and queries — a pure function of the urls, no RNG:
+
+    - urls with ``crc32(url) % 10 == 0``: every crawl row → delta
+      (NEW documents; some will join clusters whose siblings are in base)
+    - re-crawled urls with ``crc32 % 10 == 1``: the latest crawl → delta
+      (UPDATED documents — the incumbent row is invalidated), earlier
+      crawls → base
+    - everything else → base
+    """
+    import zlib
+
+    urls = pages["url"].to_pylist()
+    ts = pages["warc_ts"].to_pylist()
+    mod = {u: zlib.crc32(u.encode()) % 10 for u in set(urls)}
+    latest: dict[str, object] = {}
+    for u, t in zip(urls, ts):
+        if u not in latest or t > latest[u]:
+            latest[u] = t
+    counts: dict[str, int] = {}
+    for u in urls:
+        counts[u] = counts.get(u, 0) + 1
+    to_delta = []
+    for u, t in zip(urls, ts):
+        m = mod[u]
+        to_delta.append(
+            m == 0 or (m == 1 and counts[u] > 1 and t == latest[u])
+        )
+    mask = pa.array(to_delta, pa.bool_())
+    import pyarrow.compute as _pc
+
+    return pages.filter(_pc.invert(mask)), pages.filter(mask)
+
+
 # ---------------------------------------------------------------------------
 # Adapter: derive a pages table from the driver's documents.parquet
 # ---------------------------------------------------------------------------

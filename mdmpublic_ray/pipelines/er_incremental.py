@@ -1,0 +1,607 @@
+"""Incremental entity resolution: resolve a DELTA of new/updated pages
+against the checkpointed state of a previous run, touching work
+proportional to the delta — not the corpus.
+
+At 10^12-document scale a daily crawl delta is ~1% of the corpus; a full
+re-run re-shuffles everything. This is the run-over-run half of the
+reference's diff-style jobs (SURVEY.md §2.9 / ST6 — e.g. the monitor
+family diffing current vs previous state,
+``/root/reference/bash/monitor_server_filechanges/
+monitor_server_filechanges.sh:154-159``, and the full/diff backup cadence
+``python/db_backup/cb_backup.py:62-93``) applied to the MDM matching flow
+itself. The incremental plan:
+
+1. delta extract → dedup-latest (the same operators as the full pipeline)
+2. winner resolution vs previous state: a delta url is EFFECTIVE iff it
+   is new or strictly newer than the incumbent crawl; replaced incumbents
+   become INVALIDATED (their features / blocks / match edges are stale).
+   Ties on equal ``warc_ts`` keep the incumbent (a re-delivered crawl is
+   a no-op).
+3. features + blocking for effective delta rows only (the previous run's
+   hot-host table is reused so block keys stay comparable run-over-run;
+   the weekly FULL run of ``state.checkpoint.cadence_mode`` re-derives
+   skew from scratch)
+4. touched-block discovery: broadcast the delta's block-key set
+   (``ray.put`` once) and linear-scan the previous blocks checkpoint — a
+   pure map filter, no all-to-all. Candidate pairs are generated ONLY
+   inside touched blocks, and ONLY pairs with >=1 delta member (old×old
+   pairs were already scored last run).
+5. scoring features: the previous features checkpoint is linear-scan
+   filtered to the old uids actually appearing in new pairs, union'd
+   with the delta features, and scored by the standard vectorized scorer.
+6. clustering on a CONTRACTED graph: an unaffected previous cluster
+   collapses to its representative (cluster_id == min member url, so
+   contraction preserves the min-label invariant); clusters containing an
+   invalidated url are re-closed from their surviving previous edges
+   (an update can SPLIT a cluster); connected components runs over
+   delta urls + affected members + touched representatives only.
+7. golden records are recomputed only for clusters whose membership
+   changed; every other golden row passes through from the previous run.
+
+Equivalence: with deterministic scoring, an unchanged hot-host set and no
+block-size-cap crossings, the incremental result EQUALS ``run_er`` over
+(previous corpus + delta) — asserted by ``tests/test_er_incremental.py``.
+The excluded cases are exactly where a full periodic re-run (the FULL leg
+of the backup cadence) re-syncs the state.
+
+Scale shape: the corpus is only ever touched by embarrassingly-parallel
+map scans over the columnar checkpoints (broadcast-filter via ``ray.put``
++ ``pc.is_in``) — never a shuffle. Everything shuffled or collected is
+delta-sized; driver-side sets (delta urls, touched keys, affected
+members, new-edge endpoints) are guarded by ``delta_cap``. At 100 TB the
+broadcast filters become bloom filters and the checkpoint scans prune by
+partition, but the dataflow is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.blocking import block_keys_stage, doc_uid, features_stage
+from ..stages.cluster import connected_components
+from ..stages.dedup import dedup_latest
+from ..stages.extract import extract_stage
+from ..stages.golden import golden_records
+from ..stages.pairs import dedup_pairs
+from ..stages.scoring import score_pairs
+from ..state.checkpoint import CheckpointRunner
+from .er import ERConfig
+
+# The incremental path collects delta-bounded sets on the driver; beyond
+# this the full pipeline is the right tool (and the error says so).
+DELTA_CAP = 2_000_000
+
+STATE_STAGES = ("deduped", "features", "blocks", "scored", "clusters", "golden")
+
+
+def _isin_scan(ds, col: str, value_ref, *, keep: bool = True):
+    """Broadcast-filter map scan: keep (or drop) rows whose ``col`` is in
+    the ``ray.put``-shared Arrow array. Pure map — the corpus-sized side
+    streams, the delta-sized side rides the object store once per node."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import ray
+
+        vs = ray.get(value_ref)
+        m = pc.is_in(t[col], value_set=vs)
+        return t.filter(m if keep else pc.invert(m))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _to_pandas(ds, cols: list[str]) -> pd.DataFrame:
+    """Bounded collect that survives empty datasets: a zero-row Dataset
+    loses its schema through filter scans, so ``to_pandas`` returns a
+    column-less frame — rebuild the expected (empty) columns instead."""
+    df = ds.to_pandas()
+    if df.shape[1] == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    return df
+
+
+def _column_numpy(ds, col: str):
+    """One column of a (bounded) dataset to the driver as a numpy array."""
+    return _to_pandas(ds.select_columns([col]), [col])[col].to_numpy()
+
+
+def candidate_pairs_delta(
+    blocks_flagged,
+    *,
+    max_block_size: int = 256,
+    n_buckets: int = 64,
+):
+    """(block_key, uid, is_new) → deduped pairs(uid_a, uid_b) where at
+    least one side is new.
+
+    Identical block semantics to ``pairs.candidate_pairs`` (the size cap
+    applies to the COMBINED block, matching what a full run over the
+    merged corpus would see), but emits only new×new triangles and
+    new×old cross pairs — old×old pairs were generated and scored by the
+    previous run."""
+    from ..stages.util import add_bucket
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for _, g in df.groupby("block_key", sort=False):
+            uids = g["uid"].to_numpy()
+            flags = g["is_new"].to_numpy(dtype=bool)
+            order = np.argsort(uids, kind="mergesort")
+            uids = uids[order]
+            flags = flags[order]
+            first = np.ones(uids.size, dtype=bool)
+            first[1:] = uids[1:] != uids[:-1]
+            starts = np.flatnonzero(first)
+            # a uid can appear via several key rows; it is "new" if ANY is
+            merged_flags = np.maximum.reduceat(
+                flags.astype(np.int8), starts
+            ).astype(bool)
+            u = uids[first]
+            n = u.size
+            if n < 2 or n > max_block_size:
+                continue
+            new_u = u[merged_flags]
+            old_u = u[~merged_flags]
+            if new_u.size == 0:
+                continue
+            if new_u.size >= 2:
+                ii, jj = np.triu_indices(new_u.size, k=1)
+                out_a.append(new_u[ii])
+                out_b.append(new_u[jj])
+            if old_u.size:
+                A = np.repeat(new_u, old_u.size)
+                B = np.tile(old_u, new_u.size)
+                out_a.append(np.minimum(A, B))
+                out_b.append(np.maximum(A, B))
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "uid_a": pd.Series([], dtype="int64"),
+                    "uid_b": pd.Series([], dtype="int64"),
+                }
+            )
+        res = pd.DataFrame(
+            {"uid_a": np.concatenate(out_a), "uid_b": np.concatenate(out_b)}
+        )
+        return res.drop_duplicates()
+
+    pairs = (
+        add_bucket(blocks_flagged, "block_key", n_buckets)
+        .groupby("_bucket")
+        .map_groups(gen, batch_format="pandas")
+    )
+    return dedup_pairs(pairs, n_buckets=n_buckets)
+
+
+def _flag(value: bool):
+    def f(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_new", pa.array(np.full(len(t), value), pa.bool_())
+        )
+
+    return f
+
+
+def write_state(outputs: dict, state_dir: str, run_id: str) -> CheckpointRunner:
+    """Publish a result dict (from ``run_er`` or ``run_er_incremental``)
+    as a checkpointed state under ``state_dir/run_id`` so a later
+    incremental run can resume from it. Writes the :data:`STATE_STAGES`
+    plus ``hot_hosts`` when present."""
+    ck = CheckpointRunner(state_dir, run_id)
+    for name in STATE_STAGES + (("hot_hosts",) if "hot_hosts" in outputs else ()):
+        ds = outputs[name]
+        ck.run_stage(name, lambda ds=ds: ds)
+    return ck
+
+
+def run_er_incremental(
+    delta_pages_ds,
+    cfg: ERConfig | None = None,
+    *,
+    state_dir: str,
+    prev_run_id: str,
+    delta_cap: int = DELTA_CAP,
+) -> dict:
+    """Resolve ``delta_pages_ds`` against the previous run's checkpointed
+    state; returns the COMBINED state (same keys as ``run_er``: deduped,
+    features, blocks, scored, clusters, golden) plus incremental
+    diagnostics under ``"incremental"``. Pass the result to
+    :func:`write_state` to persist it for the next delta."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.util import default_partitions
+
+    cfg = cfg or ERConfig()
+    if cfg.num_partitions is None:
+        cfg.num_partitions = default_partitions()
+
+    prev = CheckpointRunner(state_dir, prev_run_id)
+    have = set(prev.stage_names())
+    missing = [s for s in STATE_STAGES if s not in have]
+    if missing:
+        raise ValueError(
+            f"previous run '{prev_run_id}' in {state_dir} is missing stages "
+            f"{missing}; run the full pipeline with a checkpoint_dir first"
+        )
+    prev_deduped = prev.read_stage("deduped")
+    prev_features = prev.read_stage("features")
+    prev_blocks = prev.read_stage("blocks")
+    prev_scored = prev.read_stage("scored")
+    prev_clusters = prev.read_stage("clusters")
+    prev_golden = prev.read_stage("golden")
+    hot_hosts: dict = {}
+    if "hot_hosts" in have:
+        hot_hosts = {
+            r["host"]: int(r["n_pages"])
+            for r in prev.read_stage("hot_hosts").take_all()
+            if r["n_pages"] >= 0
+        }
+
+    # ---- 1. delta extract + dedup-latest (the standard entry stages) ----
+    cols = delta_pages_ds.schema().names
+    slim = (
+        delta_pages_ds.select_columns([c for c in cols if c != "text"])
+        if "text" in cols
+        else delta_pages_ds
+    )
+    try:
+        nb = slim.num_blocks()
+    except Exception:
+        nb = None
+    if nb is not None and nb < cfg.num_partitions:
+        slim = slim.repartition(cfg.num_partitions)
+    delta_deduped = dedup_latest(
+        extract_stage(
+            slim,
+            batch_size=cfg.extract_batch_size,
+            concurrency=cfg.extract_concurrency,
+        ),
+        "url",
+        "warc_ts",
+        n_buckets=cfg.n_buckets,
+    ).materialize()
+
+    n_delta = delta_deduped.count()
+    if n_delta > delta_cap:
+        raise ValueError(
+            f"delta has {n_delta} unique pages > delta_cap={delta_cap}; "
+            "run the full pipeline instead"
+        )
+
+    def passthrough(n_eff: int = 0) -> dict:
+        out = {
+            "deduped": prev_deduped,
+            "features": prev_features,
+            "blocks": prev_blocks,
+            "scored": prev_scored,
+            "clusters": prev_clusters,
+            "golden": prev_golden,
+            "incremental": {
+                "n_delta": n_delta,
+                "n_effective": n_eff,
+                "n_invalidated": 0,
+                "n_new_pairs": 0,
+                "n_new_edges": 0,
+                "n_affected_clusters": 0,
+                "n_changed_clusters": 0,
+            },
+        }
+        if "hot_hosts" in have:
+            out["hot_hosts"] = prev.read_stage("hot_hosts")
+        return out
+
+    if n_delta == 0:
+        return passthrough()
+
+    # ---- 2. winner resolution: effective delta + invalidated incumbents -
+    ddf = delta_deduped.select_columns(["url", "warc_ts"]).to_pandas()
+    delta_url_ref = ray.put(pa.array(ddf["url"], pa.string()))
+    incumbent = _to_pandas(
+        _isin_scan(
+            prev_deduped.select_columns(["url", "warc_ts"]), "url", delta_url_ref
+        ),
+        ["url", "warc_ts"],
+    )
+    prev_ts = dict(zip(incumbent["url"], incumbent["warc_ts"]))
+    eff_mask = np.array(
+        [
+            (u not in prev_ts) or (ts > prev_ts[u])
+            for u, ts in zip(ddf["url"], ddf["warc_ts"])
+        ]
+    )
+    if not eff_mask.any():
+        return passthrough()
+    eff_urls = ddf["url"].to_numpy()[eff_mask]
+    eff_set = set(eff_urls)
+    invalidated = sorted(u for u in eff_urls if u in prev_ts)
+    inval_set = set(invalidated)
+    eff_ref = ray.put(pa.array(np.sort(eff_urls), pa.string()))
+    delta_eff = _isin_scan(delta_deduped, "url", eff_ref).materialize()
+
+    # ---- 3. delta features + block keys (prev hot-host table reused) ----
+    delta_features = features_stage(
+        delta_eff, concurrency=cfg.features_concurrency, seed=cfg.seed
+    ).materialize()
+    delta_blocks = block_keys_stage(
+        delta_features, hot_hosts=hot_hosts, max_block_size=cfg.max_block_size
+    ).materialize()
+
+    # ---- 4. touched blocks → delta-involving candidate pairs ------------
+    delta_keys = np.unique(_column_numpy(delta_blocks, "block_key"))
+    key_ref = ray.put(pa.array(delta_keys, pa.int64()))
+    touched_prev = _isin_scan(prev_blocks, "block_key", key_ref)
+    inval_uids = np.sort(
+        np.array([doc_uid(u) for u in invalidated], dtype=np.int64)
+    )
+    if inval_uids.size:
+        # an updated doc re-enters via its NEW keys; its stale block rows
+        # (old content's keys) must not pair it with anything
+        inval_uid_ref = ray.put(pa.array(inval_uids, pa.int64()))
+        touched_prev = _isin_scan(touched_prev, "uid", inval_uid_ref, keep=False)
+    blocks_flagged = delta_blocks.map_batches(
+        _flag(True), batch_format="pyarrow"
+    ).union(touched_prev.map_batches(_flag(False), batch_format="pyarrow"))
+    pairs = candidate_pairs_delta(
+        blocks_flagged,
+        max_block_size=cfg.max_block_size,
+        n_buckets=cfg.n_buckets,
+    ).materialize()
+    n_pairs = pairs.count()
+
+    # ---- 5. score new pairs against delta ∪ (needed old) features -------
+    if n_pairs:
+        def batch_uids(t: pa.Table) -> pa.Table:
+            u = np.unique(
+                np.concatenate(
+                    [
+                        t["uid_a"].to_numpy(zero_copy_only=False),
+                        t["uid_b"].to_numpy(zero_copy_only=False),
+                    ]
+                )
+            )
+            return pa.table({"uid": pa.array(u, pa.int64())})
+
+        pair_uids = np.unique(
+            _column_numpy(
+                pairs.map_batches(batch_uids, batch_format="pyarrow"), "uid"
+            )
+        )
+        delta_uids = np.sort(_column_numpy(delta_features, "uid"))
+        old_need = np.setdiff1d(pair_uids, delta_uids)
+        feats = delta_features
+        if old_need.size:
+            old_feats = _isin_scan(
+                prev_features, "uid", ray.put(pa.array(old_need, pa.int64()))
+            )
+            feats = feats.union(old_feats)
+        scored = score_pairs(
+            pairs,
+            feats.materialize(),
+            num_partitions=cfg.num_partitions,
+            threshold=cfg.threshold,
+        ).materialize()
+        new_edges = _to_pandas(
+            scored.map_batches(
+                lambda t: t.filter(t["is_match"]).select(["url_a", "url_b"]),
+                batch_format="pyarrow",
+            ),
+            ["url_a", "url_b"],
+        )
+    else:
+        scored = rd.from_arrow(_scored_schema().empty_table())
+        new_edges = pd.DataFrame({"url_a": [], "url_b": []}, dtype=str)
+
+    # ---- 6. affected clusters (contain an invalidated url) --------------
+    aff_cids: list[str] = []
+    aff_members = pd.DataFrame({"url": [], "cluster_id": []}, dtype=str)
+    prev_edges = pd.DataFrame({"url_a": [], "url_b": []}, dtype=str)
+    if inval_set:
+        inval_ref = ray.put(pa.array(sorted(inval_set), pa.string()))
+        hit = _to_pandas(
+            _isin_scan(prev_clusters, "url", inval_ref), ["url", "cluster_id"]
+        )
+        aff_cids = sorted(set(hit["cluster_id"]))
+    if aff_cids:
+        cid_ref = ray.put(pa.array(aff_cids, pa.string()))
+        aff_members = _to_pandas(
+            _isin_scan(prev_clusters, "cluster_id", cid_ref), ["url", "cluster_id"]
+        )
+        aset_ref = ray.put(pa.array(np.sort(aff_members["url"].to_numpy()), pa.string()))
+
+        def aff_edges(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            vs = _ray.get(aset_ref)
+            m = pc.and_(
+                t["is_match"],
+                pc.or_(
+                    pc.is_in(t["url_a"], value_set=vs),
+                    pc.is_in(t["url_b"], value_set=vs),
+                ),
+            )
+            return t.filter(m).select(["url_a", "url_b"])
+
+        prev_edges = _to_pandas(
+            prev_scored.map_batches(aff_edges, batch_format="pyarrow"),
+            ["url_a", "url_b"],
+        )
+        # edges touching an invalidated url are stale (the updated content
+        # is re-scored via the delta path)
+        keep = ~prev_edges["url_a"].isin(inval_set) & ~prev_edges["url_b"].isin(
+            inval_set
+        )
+        prev_edges = prev_edges[keep]
+    aff_urls = set(aff_members["url"])
+
+    # ---- 7. contracted graph + connected components ----------------------
+    endpoints = set(new_edges["url_a"]) | set(new_edges["url_b"])
+    old_eps = sorted(endpoints - eff_set - aff_urls)
+    ep_map: dict[str, str] = {}
+    if old_eps:
+        ep_ref = ray.put(pa.array(old_eps, pa.string()))
+        m = _to_pandas(
+            _isin_scan(prev_clusters, "url", ep_ref), ["url", "cluster_id"]
+        )
+        ep_map = dict(zip(m["url"], m["cluster_id"]))
+    rep_nodes = set(ep_map.values())
+
+    ea = [ep_map.get(u, u) for u in new_edges["url_a"]]
+    eb = [ep_map.get(u, u) for u in new_edges["url_b"]]
+    edges_all = pd.DataFrame(
+        {
+            "url_a": ea + list(prev_edges["url_a"]),
+            "url_b": eb + list(prev_edges["url_b"]),
+        }
+    )
+    edges_all = edges_all[edges_all["url_a"] != edges_all["url_b"]]
+    active_nodes = sorted(eff_set | aff_urls | rep_nodes)
+    if len(active_nodes) + len(edges_all) > delta_cap * 4:
+        raise ValueError(
+            "incremental active graph exceeds delta_cap bounds; "
+            "run the full pipeline instead"
+        )
+    cc = connected_components(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "url_a": pa.array(edges_all["url_a"], pa.string()),
+                    "url_b": pa.array(edges_all["url_b"], pa.string()),
+                }
+            )
+        ),
+        rd.from_arrow(pa.table({"url": pa.array(active_nodes, pa.string())})),
+        num_partitions=cfg.num_partitions,
+        max_rounds=cfg.max_cc_rounds,
+    ).to_pandas()
+    label = dict(zip(cc["url"], cc["cluster_id"]))
+
+    # ---- 8. final clusters ----------------------------------------------
+    # reps of unaffected clusters whose label moved → remap their members
+    changed_rep = {
+        r: label[r] for r in rep_nodes if r in label and label[r] != r
+    }
+    drop_cids = set(aff_cids)
+
+    def remap_prev(df: pd.DataFrame) -> pd.DataFrame:
+        if drop_cids:
+            df = df[~df["cluster_id"].isin(drop_cids)]
+        if changed_rep:
+            df = df.copy()
+            df["cluster_id"] = (
+                df["cluster_id"].map(changed_rep).fillna(df["cluster_id"])
+            )
+        return df
+
+    active_member_urls = sorted(eff_set | aff_urls)
+    active_tbl = pa.table(
+        {
+            "url": pa.array(active_member_urls, pa.string()),
+            "cluster_id": pa.array(
+                [label[u] for u in active_member_urls], pa.string()
+            ),
+        }
+    )
+    clusters = (
+        prev_clusters.map_batches(remap_prev, batch_format="pandas")
+        .union(rd.from_arrow(active_tbl))
+        .materialize()
+    )
+
+    # ---- 9. golden records: recompute changed clusters only --------------
+    changed_final = {label[u] for u in active_member_urls}
+    removed_old = drop_cids | set(changed_rep) | changed_final
+    changed_ref = ray.put(pa.array(sorted(changed_final), pa.string()))
+    changed_members = _isin_scan(clusters, "cluster_id", changed_ref).materialize()
+    member_ref = ray.put(
+        pa.array(np.sort(_column_numpy(changed_members, "url")), pa.string())
+    )
+    # combined deduped view of the changed members: previous rows (minus
+    # invalidated) + effective delta rows — both pure map scans
+    inval_ref2 = ray.put(pa.array(sorted(inval_set), pa.string()))
+    surviving_prev = _isin_scan(prev_deduped, "url", inval_ref2, keep=False)
+    changed_pages = _isin_scan(surviving_prev, "url", member_ref).union(
+        _isin_scan(delta_eff, "url", member_ref)
+    )
+    fresh_golden = golden_records(
+        changed_members,
+        changed_pages,
+        num_partitions=cfg.num_partitions,
+        n_buckets=cfg.n_buckets,
+    )
+
+    def drop_removed(df: pd.DataFrame) -> pd.DataFrame:
+        return df[~df["cluster_id"].isin(removed_old)]
+
+    golden = (
+        prev_golden.map_batches(drop_removed, batch_format="pandas")
+        .union(fresh_golden)
+        .materialize()
+    )
+
+    # ---- 10. combined state for the next increment ------------------------
+    deduped = surviving_prev.union(delta_eff)
+    feats_prev = prev_features
+    blocks_prev = prev_blocks
+    if inval_uids.size:
+        iu_ref = ray.put(pa.array(inval_uids, pa.int64()))
+        feats_prev = _isin_scan(feats_prev, "uid", iu_ref, keep=False)
+        blocks_prev = _isin_scan(blocks_prev, "uid", iu_ref, keep=False)
+    features = feats_prev.union(delta_features)
+    blocks = blocks_prev.union(delta_blocks)
+
+    def drop_inval_edges(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        vs = _ray.get(inval_ref2)
+        m = pc.or_(
+            pc.is_in(t["url_a"], value_set=vs),
+            pc.is_in(t["url_b"], value_set=vs),
+        )
+        return t.filter(pc.invert(m))
+
+    scored_all = prev_scored.map_batches(
+        drop_inval_edges, batch_format="pyarrow"
+    ).union(scored)
+
+    out = {
+        "deduped": deduped,
+        "features": features,
+        "blocks": blocks,
+        "scored": scored_all,
+        "clusters": clusters,
+        "golden": golden,
+        "delta_deduped": delta_eff,
+        "pairs": pairs,
+        "incremental": {
+            "n_delta": int(n_delta),
+            "n_effective": int(len(eff_set)),
+            "n_invalidated": int(len(inval_set)),
+            "n_new_pairs": int(n_pairs),
+            "n_new_edges": int(len(new_edges)),
+            "n_affected_clusters": int(len(aff_cids)),
+            "n_changed_clusters": int(len(changed_final)),
+        },
+    }
+    if "hot_hosts" in have:
+        # pass the skew table through so a chained increment keys blocks
+        # identically (a periodic FULL run refreshes it)
+        out["hot_hosts"] = prev.read_stage("hot_hosts")
+    return out
+
+
+def _scored_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("url_a", pa.string()),
+            ("url_b", pa.string()),
+            ("jaccard", pa.float64()),
+            ("jw_title", pa.float64()),
+            ("jw_url", pa.float64()),
+            ("score", pa.float64()),
+            ("is_match", pa.bool_()),
+        ]
+    )

@@ -1145,6 +1145,42 @@ def _er_outputs(sf_dir: str) -> dict:
     return _ER_CACHE[sf_dir]
 
 
+def q_er_incremental(sf_dir: str):
+    """Incremental ER (run-over-run delta resolution, §2.9/ST6;
+    rows-only): the documents-derived pages corpus is split
+    deterministically into base + delta, the base is resolved and
+    checkpointed, the delta is resolved incrementally against that state,
+    and the final cluster assignment is returned — it equals a full run
+    over the combined corpus (tests/test_er_incremental.py asserts the
+    invariant on the synthetic corpus)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ..corpus import pages_from_documents, split_base_delta
+    from .er import ERConfig, run_er
+    from .er_incremental import run_er_incremental
+
+    pages = pages_from_documents(sf_dir)
+    base, delta = split_base_delta(pages)
+    state = tempfile.mkdtemp(prefix="er_inc_state_")
+    try:
+        run_er(
+            rd.from_arrow(base),
+            ERConfig(checkpoint_dir=state, run_id="base"),
+        )
+        inc = run_er_incremental(
+            rd.from_arrow(delta),
+            ERConfig(),
+            state_dir=state,
+            prev_run_id="base",
+        )
+        return inc["clusters"].materialize()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def q_pages_media_features(sf_dir: str):
     """Multimodal plumbing: opaque binary payloads through an actor-pool
     decode stage (stub decoder — see stages/media.py; rows-only)."""
@@ -1911,6 +1947,7 @@ QUERIES = {
     "docs_minhash_clusters": q_docs_minhash_clusters,
     "er_clusters": q_er_clusters,
     "er_golden": q_er_golden,
+    "er_incremental": q_er_incremental,
     "pages_media_features": q_pages_media_features,
 }
 

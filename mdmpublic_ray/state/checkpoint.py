@@ -157,6 +157,12 @@ class CheckpointRunner:
         self.ran.append(name)
         return self._read(sd)
 
+    def read_stage(self, name: str):
+        """Re-read a previously-written stage as a Dataset (the public
+        entry for consumers of a prior run's state, e.g. the incremental
+        ER pipeline)."""
+        return self._read(self._stage_dir(name))
+
     def stage_names(self) -> list[str]:
         return sorted(
             d.split("=", 1)[1]

@@ -1,0 +1,161 @@
+"""Incremental ER: delta runs against checkpointed state must EQUAL a
+full run over the combined corpus (the invariant stated in
+``pipelines/er_incremental.py``), across new docs, new members of
+existing clusters, and updated (re-crawled) docs that invalidate edges."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from mdmpublic_ray.corpus import generate_pages, split_base_delta
+from mdmpublic_ray.pipelines.er import ERConfig, run_er
+from mdmpublic_ray.pipelines.er_incremental import (
+    run_er_incremental,
+    write_state,
+)
+
+
+def _clusters_df(out) -> pd.DataFrame:
+    return (
+        out["clusters"]
+        .to_pandas()
+        .sort_values("url", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def _golden_df(out) -> pd.DataFrame:
+    return (
+        out["golden"]
+        .to_pandas()
+        .sort_values("cluster_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def _cfg(ckdir=None, run_id="base") -> ERConfig:
+    return ERConfig(
+        num_partitions=8,
+        n_buckets=16,
+        checkpoint_dir=ckdir,
+        run_id=run_id,
+    )
+
+
+@pytest.fixture(scope="module")
+def split_corpus():
+    pages, truth, _ = generate_pages(n_clusters=60, seed=7)
+    base, delta = split_base_delta(pages)
+    assert len(base) and len(delta)
+    return pages, base, delta
+
+
+def test_incremental_equals_full_run(ray_session, split_corpus, tmp_path):
+    import ray.data as rd
+
+    pages, base, delta = split_corpus
+    state = str(tmp_path / "state")
+    run_er(rd.from_arrow(base), _cfg(state, "base"))
+
+    inc = run_er_incremental(
+        rd.from_arrow(delta), _cfg(), state_dir=state, prev_run_id="base"
+    )
+    diag = inc["incremental"]
+    # the split plants all three delta kinds
+    assert diag["n_effective"] > 0
+    assert diag["n_invalidated"] > 0
+    assert diag["n_new_pairs"] > 0
+
+    full = run_er(rd.from_arrow(pages), _cfg())
+    pd.testing.assert_frame_equal(_clusters_df(inc), _clusters_df(full))
+    pd.testing.assert_frame_equal(_golden_df(inc), _golden_df(full))
+
+
+def test_incremental_chain_two_deltas(ray_session, split_corpus, tmp_path):
+    """Apply the delta in two halves with state published between — the
+    final state must still equal the one-shot full run."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    pages, base, delta = split_corpus
+    # deterministic half-split of the delta by url hash
+    urls = delta["url"].to_pylist()
+    first = [zlib.crc32(u.encode()) % 2 == 0 for u in urls]
+
+    mask = pa.array(first, pa.bool_())
+    d1 = delta.filter(mask)
+    d2 = delta.filter(pc.invert(mask))
+
+    state = str(tmp_path / "state")
+    run_er(rd.from_arrow(base), _cfg(state, "base"))
+
+    inc1 = run_er_incremental(
+        rd.from_arrow(d1), _cfg(), state_dir=state, prev_run_id="base"
+    )
+    write_state(inc1, state, "inc1")
+    inc2 = run_er_incremental(
+        rd.from_arrow(d2), _cfg(), state_dir=state, prev_run_id="inc1"
+    )
+
+    full = run_er(rd.from_arrow(pages), _cfg())
+    pd.testing.assert_frame_equal(_clusters_df(inc2), _clusters_df(full))
+    pd.testing.assert_frame_equal(_golden_df(inc2), _golden_df(full))
+
+
+def test_empty_delta_passthrough(ray_session, split_corpus, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.corpus import PAGES_SCHEMA
+
+    _, base, _ = split_corpus
+    state = str(tmp_path / "state")
+    out0 = run_er(rd.from_arrow(base), _cfg(state, "base"))
+    c0 = _clusters_df(out0)
+
+    inc = run_er_incremental(
+        rd.from_arrow(PAGES_SCHEMA.empty_table()),
+        _cfg(),
+        state_dir=state,
+        prev_run_id="base",
+    )
+    assert inc["incremental"]["n_effective"] == 0
+    pd.testing.assert_frame_equal(_clusters_df(inc), c0)
+
+
+def test_stale_redelivery_is_noop(ray_session, split_corpus, tmp_path):
+    """Re-delivering rows already in the state (same or older warc_ts)
+    must change nothing — the incumbent wins ties."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    _, base, _ = split_corpus
+    state = str(tmp_path / "state")
+    out0 = run_er(rd.from_arrow(base), _cfg(state, "base"))
+    c0 = _clusters_df(out0)
+
+    resend = base.slice(0, min(50, len(base)))
+    inc = run_er_incremental(
+        rd.from_arrow(resend), _cfg(), state_dir=state, prev_run_id="base"
+    )
+    assert inc["incremental"]["n_effective"] == 0
+    pd.testing.assert_frame_equal(_clusters_df(inc), c0)
+
+
+def test_missing_state_raises(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.corpus import PAGES_SCHEMA
+
+    with pytest.raises(ValueError, match="missing stages"):
+        run_er_incremental(
+            rd.from_arrow(PAGES_SCHEMA.empty_table()),
+            _cfg(),
+            state_dir=str(tmp_path / "nope"),
+            prev_run_id="ghost",
+        )
