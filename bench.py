@@ -71,6 +71,43 @@ def _run_bench() -> dict:
     extras["pairs_per_sec"] = round(n_scored / er_sec, 1) if er_sec else None
     extras["rows_per_sec"] = round(pages_tbl.num_rows / er_sec, 1) if er_sec else None
 
+    # --- incremental ER: delta resolution against checkpointed state ----
+    # the 100-TB story: a 1% crawl delta must not re-shuffle the corpus.
+    # Base-state build is untimed setup; the timed section is the delta
+    # resolution whose work is delta-proportional (see er_incremental.py).
+    import shutil
+    import tempfile
+
+    from mdmpublic_ray.corpus import split_base_delta
+    from mdmpublic_ray.pipelines.er_incremental import run_er_incremental
+
+    base_tbl, delta_tbl = split_base_delta(pages_tbl)
+    state = tempfile.mkdtemp(prefix="bench_er_state_")
+    try:
+        run_er(
+            rd.from_arrow(base_tbl),
+            ERConfig(checkpoint_dir=state, run_id="base"),
+        )
+        t0 = time.monotonic()
+        inc = run_er_incremental(
+            rd.from_arrow(delta_tbl),
+            ERConfig(),
+            state_dir=state,
+            prev_run_id="base",
+        )
+        n_inc_clusters = inc["clusters"].count()
+        inc_sec = time.monotonic() - t0
+        timings["er_incremental_delta"] = round(inc_sec, 3)
+        extras["er_incremental"] = {
+            **inc["incremental"],
+            "delta_rows": delta_tbl.num_rows,
+            "clusters": n_inc_clusters,
+            "full_rerun_sec": timings["er_pipeline"],
+            "speedup_vs_full_rerun": round(er_sec / inc_sec, 2) if inc_sec else None,
+        }
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
     # --- representative operator benches --------------------------------
     bench_queries = [
         "pricing_summary",

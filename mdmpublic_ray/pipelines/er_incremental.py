@@ -593,6 +593,55 @@ def run_er_incremental(
     return out
 
 
+def golden_diff(prev_golden, cur_golden, *, n_buckets: int = 64):
+    """Record-level run-over-run diff of two golden-record outputs (the
+    data-plane complement of ``state.checkpoint.manifest_diff``): one row
+    per cluster_id with ``status`` ∈ {added, removed, changed, same} and
+    the member-count transition.
+
+    One bucketed full-outer merge on cluster_id — both sides are
+    golden-record-sized (clusters, not pages), and the comparison is a
+    vectorized column equality per bucket."""
+    from ..stages.util import bucketed_map_groups
+
+    CMP = ["canonical_url", "n_members", "langs", "max_warc_ts", "text_len"]
+
+    def tag(ds, side: str):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {"cluster_id": t["cluster_id"]}
+            for c in CMP:
+                for s in ("prev", "cur"):
+                    cols[f"{c}_{s}"] = (
+                        t[c] if s == side else pa.nulls(len(t), t.schema.field(c).type)
+                    )
+            return pa.table(cols)
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    both = tag(prev_golden, "prev").union(tag(cur_golden, "cur"))
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_id", sort=False, as_index=False).first()
+        has_prev = g["canonical_url_prev"].notna()
+        has_cur = g["canonical_url_cur"].notna()
+        same = np.ones(len(g), dtype=bool)
+        for c in CMP:
+            same &= (g[f"{c}_prev"] == g[f"{c}_cur"]).to_numpy(dtype=bool)
+        status = np.where(
+            ~has_prev, "added", np.where(~has_cur, "removed", np.where(same, "same", "changed"))
+        )
+        return pd.DataFrame(
+            {
+                "cluster_id": g["cluster_id"],
+                "status": status,
+                "n_members_prev": g["n_members_prev"].fillna(-1).astype("int64"),
+                "n_members_cur": g["n_members_cur"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return bucketed_map_groups(both, "cluster_id", diff)
+
+
 def _scored_schema() -> pa.Schema:
     return pa.schema(
         [

@@ -537,6 +537,75 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 """
 
 
+def q_signup_purchase_window(sf_dir: str):
+    """Interval (range) join — the other custom join the Dataset API
+    lacks (family of the as-of join above): each signup is joined to the
+    SAME user's purchases inside (signup_ts, signup_ts + 7 days], emitting
+    per-signup count and sum.
+
+    Scale plan: ONE bucketed-by-user shuffle of pruned columns; within a
+    bucket each user's purchases are sorted once and every signup resolves
+    by two ``searchsorted`` probes over a cents cumsum (integer — order-
+    independent sums, matching the oracle exactly). Per-user work is
+    O((p+s) log p) with no per-row Python; hot users would time-slice the
+    same way the as-of join documents."""
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    week_us = 7 * 24 * 3600 * 1_000_000
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, g in df.groupby("user_id", sort=False):
+            s = g[g["event_type"] == "signup"]
+            if s.empty:
+                continue
+            p = g[g["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+            pts = p["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            pv = np.round(p["value"].to_numpy() * 100).astype("int64")
+            cv = np.concatenate([[0], np.cumsum(pv)])
+            sts = s["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            lo = np.searchsorted(pts, sts, side="right")
+            hi = np.searchsorted(pts, sts + week_us, side="right")
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_id": s["event_id"].to_numpy(),
+                        "user_id": np.full(len(s), uid, dtype="int64"),
+                        "signup_ts": s["ts"].to_numpy(),
+                        "n_purchases_7d": (hi - lo).astype("int64"),
+                        "sum_value_7d": (cv[hi] - cv[lo]) / 100.0,
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "signup_ts": pd.Series([], dtype="datetime64[us]"),
+                    "n_purchases_7d": pd.Series([], dtype="int64"),
+                    "sum_value_7d": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map_groups(ds, "user_id", win)
+
+
+SQL_SIGNUP_PURCHASE_WINDOW = """
+SELECT s.event_id, s.user_id, s.ts AS signup_ts,
+  COUNT(p.event_id) AS n_purchases_7d,
+  CAST(COALESCE(SUM(CAST(round(p.value * 100) AS BIGINT)), 0) AS DOUBLE) / 100
+    AS sum_value_7d
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = s.user_id AND p.ts > s.ts
+ AND p.ts <= s.ts + INTERVAL 7 DAY
+GROUP BY 1, 2, 3
+"""
+
+
 # --- joins (§2.4) ---------------------------------------------------------
 
 
@@ -869,6 +938,60 @@ WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks F
 SELECT doc_id, len(toks) AS n_tokens,
   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len
 FROM t
+"""
+
+
+def q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    high within-doc repetition marks low-quality text): per doc, the
+    distinct-token ratio and the share of the single most frequent token.
+    Pure map — per batch, one tokenize + one ``np.unique`` per doc; no
+    shuffle, trivially corpus-scale."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.empty(len(df), dtype="int64")
+        nd = np.empty(len(df), dtype="int64")
+        top = np.empty(len(df), dtype="int64")
+        for i, text in enumerate(df["text"]):
+            toks = T.tokens(text)
+            n[i] = len(toks)
+            if toks:
+                _, counts = np.unique(toks, return_counts=True)
+                nd[i] = counts.size
+                top[i] = counts.max()
+            else:
+                nd[i] = 0
+                top[i] = 0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n,
+                "distinct_ratio": np.where(n > 0, nd / np.maximum(n, 1), 1.0),
+                "top_token_share": np.where(n > 0, top / np.maximum(n, 1), 0.0),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pandas")
+
+
+SQL_DOCS_REPETITION = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(MAX(c) AS BIGINT) AS topc
+        FROM tf GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(a.n, 0) AS n_tokens,
+  CASE WHEN a.n > 0 THEN CAST(a.nd AS DOUBLE) / a.n ELSE 1.0 END
+    AS distinct_ratio,
+  CASE WHEN a.n > 0 THEN CAST(a.topc AS DOUBLE) / a.n ELSE 0.0 END
+    AS top_token_share
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -1901,6 +2024,7 @@ QUERIES = {
     "hourly_type_windows": q_hourly_type_windows,
     "sliding_type_windows": q_sliding_type_windows,
     "purchase_asof_signup": q_purchase_asof_signup,
+    "signup_purchase_window": q_signup_purchase_window,
     "daily_purchase_error_counts": q_daily_purchase_error_counts,
     "customer_revenue": q_customer_revenue,
     "top_customers": q_top_customers,
@@ -1912,6 +2036,7 @@ QUERIES = {
     "orders_by_month": q_orders_by_month,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_token_stats": q_docs_token_stats,
+    "docs_repetition": q_docs_repetition,
     "docs_fingerprint": q_docs_fingerprint,
     "docs_quality": q_docs_quality,
     "docs_first_word": q_docs_first_word,
@@ -1964,6 +2089,7 @@ ORACLE_SQL = {
     "hourly_type_windows": SQL_HOURLY_WINDOWS,
     "sliding_type_windows": SQL_SLIDING_WINDOWS,
     "purchase_asof_signup": SQL_PURCHASE_ASOF_SIGNUP,
+    "signup_purchase_window": SQL_SIGNUP_PURCHASE_WINDOW,
     "daily_purchase_error_counts": SQL_DAILY_PURCHASE_ERROR,
     "customer_revenue": SQL_CUSTOMER_REVENUE,
     "top_customers": SQL_TOP_CUSTOMERS,
@@ -1975,6 +2101,7 @@ ORACLE_SQL = {
     "orders_by_month": SQL_ORDERS_BY_MONTH,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
+    "docs_repetition": SQL_DOCS_REPETITION,
     "docs_fingerprint": SQL_DOCS_FINGERPRINT,
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_first_word": SQL_DOCS_FIRST_WORD,

@@ -146,6 +146,38 @@ def test_stale_redelivery_is_noop(ray_session, split_corpus, tmp_path):
     pd.testing.assert_frame_equal(_clusters_df(inc), c0)
 
 
+def test_golden_diff_statuses(ray_session, split_corpus, tmp_path):
+    """Record-level run-over-run diff: statuses must exactly partition
+    prev ∪ cur cluster ids, with added/removed derived from set algebra."""
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er_incremental import golden_diff
+
+    _, base, delta = split_corpus
+    state = str(tmp_path / "state")
+    out0 = run_er(rd.from_arrow(base), _cfg(state, "base"))
+    prev_golden = out0["golden"]
+    inc = run_er_incremental(
+        rd.from_arrow(delta), _cfg(), state_dir=state, prev_run_id="base"
+    )
+
+    d = golden_diff(prev_golden, inc["golden"]).to_pandas()
+    prev_ids = set(prev_golden.to_pandas()["cluster_id"])
+    cur_ids = set(inc["golden"].to_pandas()["cluster_id"])
+
+    assert set(d["cluster_id"]) == prev_ids | cur_ids
+    assert len(d) == len(prev_ids | cur_ids)
+    by = {s: set(g["cluster_id"]) for s, g in d.groupby("status")}
+    assert by.get("added", set()) == cur_ids - prev_ids
+    assert by.get("removed", set()) == prev_ids - cur_ids
+    # the delta plants new docs → some clusters must be added or changed
+    assert by.get("added") or by.get("changed")
+    # untouched clusters report same with stable member counts
+    same = d[d["status"] == "same"]
+    assert len(same) > 0
+    assert (same["n_members_prev"] == same["n_members_cur"]).all()
+
+
 def test_missing_state_raises(ray_session, tmp_path):
     import pyarrow as pa
     import ray.data as rd
