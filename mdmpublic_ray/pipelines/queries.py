@@ -1881,6 +1881,38 @@ FROM s JOIN (VALUES ({'),('.join(_QUANTILE_QS)})) v(q)
   ON s.r = CAST(floor((s.c - 1) * q) AS BIGINT)
 """
 
+def q_docs_len_quantiles_by_lang(sf_dir: str):
+    """Exact PER-GROUP quantiles without any sort (grouped histogram
+    refinement, stages/quantiles.py::grouped_exact_quantiles): one scan
+    per pass refines every (lang, rank) interval simultaneously."""
+    from fractions import Fraction
+
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    res = grouped_exact_quantiles(
+        ds, "lang", "n_chars", [Fraction(q) for q in _QUANTILE_QS]
+    )
+    return pa.table(
+        {
+            "lang": pa.array([g for g, _, _ in res], pa.string()),
+            "q": pa.array([float(q) for _, q, _ in res], pa.float64()),
+            "value": pa.array([int(v) for _, _, v in res], pa.int64()),
+        }
+    )
+
+
+SQL_DOCS_LEN_QUANTILES_BY_LANG = f"""
+WITH s AS (SELECT lang, n_chars,
+                  row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS r,
+                  COUNT(*) OVER (PARTITION BY lang) AS c
+           FROM documents)
+SELECT lang, CAST(q AS DOUBLE) AS q, n_chars AS value
+FROM s JOIN (VALUES ({'),('.join(_QUANTILE_QS)})) v(q)
+  ON s.r = CAST(floor((s.c - 1) * q) AS BIGINT)
+"""
+
+
 def q_web_line_dedup(sf_dir: str):
     """Cross-document duplicate-line removal (MassiveText-style): a line
     survives only at its globally-first (page_id, line_idx) occurrence.
@@ -2059,6 +2091,7 @@ QUERIES = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_top_tokens": q_docs_top_tokens,
     "docs_len_quantiles": q_docs_len_quantiles,
+    "docs_len_quantiles_by_lang": q_docs_len_quantiles_by_lang,
     "docs_decontaminate": q_docs_decontaminate,
     "web_line_dedup": q_web_line_dedup,
     "docs_pack_bins": q_docs_pack_bins,
@@ -2124,6 +2157,7 @@ ORACLE_SQL = {
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
     "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
     "docs_len_quantiles": SQL_DOCS_LEN_QUANTILES,
+    "docs_len_quantiles_by_lang": SQL_DOCS_LEN_QUANTILES_BY_LANG,
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "web_line_dedup": _sql_web_line_dedup(),
     "docs_pack_bins": SQL_DOCS_PACK_BINS,

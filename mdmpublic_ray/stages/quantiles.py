@@ -116,3 +116,137 @@ def exact_quantiles(
         vals = np.sort(np.array([row[col] for row in rows]))
         out.append((q, vals[int(r)]))
     return out
+
+
+def grouped_exact_quantiles(
+    ds,
+    group_col: str,
+    col: str,
+    qs,
+    *,
+    n_buckets: int = 512,
+    max_collect: int = 100_000,
+    max_passes: int = 10,
+):
+    """Exact PER-GROUP rank-selection quantiles without any sort: the
+    grouped generalization of :func:`exact_quantiles`. One scan per pass
+    refines every (group, rank) interval simultaneously — pass cost is
+    one projected read + per-batch histograms for the groups present in
+    the batch, and the combined "shuffle" is #blocks × #active-intervals
+    count rows to the driver. Returns ``[(group, q, value), …]`` sorted
+    by (group, q).
+
+    Scale shape: group count multiplies per-batch histogram work, not
+    scan count — 10^12 rows × a few thousand groups is still the same
+    2-3 passes. Per-group state on the driver is O(groups × ranks)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ds.select_columns([group_col, col])
+    stats = ds.groupby(group_col).aggregate(Min(col), Max(col), Count()).take_all()
+    if not stats:
+        return []
+    qs = list(qs)
+    state: dict[tuple, list] = {}
+    resolved: dict[tuple, float] = {}
+    for row in stats:
+        g, n = row[group_col], row["count()"]
+        for qi, q in enumerate(qs):
+            state[(g, qi)] = [
+                float(row[f"min({col})"]),
+                float(row[f"max({col})"]),
+                _rank(n, q),
+                n,
+            ]
+
+    for _ in range(max_passes):
+        active = {
+            k: s
+            for k, s in state.items()
+            if k not in resolved and s[3] > max_collect and s[0] < s[1]
+        }
+        if not active:
+            break
+        by_group: dict = {}
+        for (g, qi), s in active.items():
+            by_group.setdefault(g, []).append(
+                (qi, np.linspace(s[0], s[1], n_buckets + 1))
+            )
+
+        def hist(t: pa.Table, _bg=by_group, _g=group_col, _c=col) -> pa.Table:
+            gv = t[_g].to_numpy(zero_copy_only=False)
+            v = t[_c].to_numpy(zero_copy_only=False).astype(np.float64)
+            order = np.argsort(gv, kind="mergesort")
+            gv, v = gv[order], v[order]
+            bounds = np.flatnonzero(
+                np.concatenate([[True], gv[1:] != gv[:-1], [True]])
+            )
+            out_g, out_q, out_c = [], [], []
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                items = _bg.get(gv[s0])
+                if not items:
+                    continue
+                vg = v[s0:s1]
+                for qi, e in items:
+                    sel = vg[(vg >= e[0]) & (vg <= e[-1])]
+                    c, _ = np.histogram(sel, bins=e)
+                    out_g.append(gv[s0])
+                    out_q.append(qi)
+                    out_c.append(c.astype(np.int64))
+            return pa.table(
+                {
+                    "g": pa.array(out_g),
+                    "qi": pa.array(out_q, pa.int64()),
+                    "counts": out_c,
+                }
+            )
+
+        parts = ds.map_batches(hist, batch_format="pyarrow").take_all()
+        totals = {k: np.zeros(n_buckets, dtype=np.int64) for k in active}
+        for row in parts:
+            totals[(row["g"], row["qi"])] += np.asarray(row["counts"])
+        for k, s in active.items():
+            cum = np.cumsum(totals[k])
+            b = int(np.searchsorted(cum, s[2], side="right"))
+            before = int(cum[b - 1]) if b > 0 else 0
+            e = by_group[k[0]][[qi for qi, _ in by_group[k[0]]].index(k[1])][1]
+            new = [float(e[b]), float(e[b + 1]), s[2] - before, int(totals[k][b])]
+            if new[0] >= new[1] or new[3] == 0:
+                resolved[k] = new[0]
+            else:
+                state[k] = new
+
+    # final: one scan collects candidates for EVERY unresolved interval
+    remaining = [k for k in state if k not in resolved]
+    collected: dict[tuple, np.ndarray] = {}
+    if remaining:
+        span = {}
+        for g, qi in remaining:
+            lo, hi, _, _ = state[(g, qi)]
+            cl, ch = span.get(g, (np.inf, -np.inf))
+            span[g] = (min(cl, lo), max(ch, hi))
+
+        def collect(t: pa.Table, _span=span, _g=group_col, _c=col) -> pa.Table:
+            gv = t[_g].to_numpy(zero_copy_only=False)
+            v = t[_c].to_numpy(zero_copy_only=False)
+            keep = np.zeros(len(gv), dtype=bool)
+            for g, (lo, hi) in _span.items():
+                keep |= (gv == g) & (v >= lo) & (v <= hi)
+            return t.filter(pa.array(keep))
+
+        rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
+        vals_by_g: dict = {}
+        for row in rows:
+            vals_by_g.setdefault(row[group_col], []).append(row[col])
+        for g, qi in remaining:
+            lo, hi, _, _ = state[(g, qi)]
+            arr = np.array(vals_by_g.get(g, []))
+            collected[(g, qi)] = np.sort(arr[(arr >= lo) & (arr <= hi)])
+
+    out = []
+    for g, qi in sorted(state, key=lambda k: (str(k[0]), k[1])):
+        k = (g, qi)
+        if k in resolved:
+            out.append((g, qs[qi], resolved[k]))
+        else:
+            out.append((g, qs[qi], collected[k][int(state[k][2])]))
+    return out
