@@ -153,7 +153,9 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
 
         def _hot_bg():
             try:
-                hot_box.update(_hot_hosts_checkpointed(stage, deduped, cfg))
+                mapping, hot_ds = _hot_hosts_checkpointed(stage, deduped, cfg)
+                hot_box["map"] = mapping
+                hot_box["ds"] = hot_ds
             except BaseException as exc:  # surfaced after join
                 hot_err.append(exc)
 
@@ -169,11 +171,13 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         params={"seed": cfg.seed},
     )
     hot_hosts: dict = {}
+    hot_hosts_ds = None
     if hot_thread is not None:
         hot_thread.join()
         if hot_err:
             raise hot_err[0]
-        hot_hosts = hot_box
+        hot_hosts = hot_box["map"]
+        hot_hosts_ds = hot_box["ds"]
     blocks = stage(
         "blocks",
         lambda: block_keys_stage(
@@ -196,22 +200,12 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
     def make_scored():
         import ray.data as rd
 
+        from ..stages.scoring import scored_schema
+
         if pairs.count() == 0:
             # empty datasets lose their schema through groupby shuffles;
             # joins on them fail — emit a typed empty result instead.
-            return rd.from_arrow(
-                pa.schema(
-                    [
-                        ("url_a", pa.string()),
-                        ("url_b", pa.string()),
-                        ("jaccard", pa.float64()),
-                        ("jw_title", pa.float64()),
-                        ("jw_url", pa.float64()),
-                        ("score", pa.float64()),
-                        ("is_match", pa.bool_()),
-                    ]
-                ).empty_table()
-            )
+            return rd.from_arrow(scored_schema().empty_table())
         return score_pairs(
             pairs,
             features,
@@ -248,7 +242,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         ),
         parents=("clusters", "deduped"),
     )
-    return {
+    out = {
         "deduped": deduped,
         "features": features,
         "blocks": blocks,
@@ -259,6 +253,11 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         "clusters": clusters,
         "golden": golden,
     }
+    if hot_hosts_ds is not None:
+        # part of the published state: er_incremental.write_state persists
+        # it so a chained delta run keys blocks identically
+        out["hot_hosts"] = hot_hosts_ds
+    return out
 
 
 def _hot_hosts_checkpointed(stage, deduped, cfg: ERConfig) -> dict:
@@ -266,7 +265,9 @@ def _hot_hosts_checkpointed(stage, deduped, cfg: ERConfig) -> dict:
     the scan+groupby and re-reads the (tiny) table, and the hot-host
     input to blocking is covered by recorded lineage. A sentinel row
     ("", -1) guarantees the parquet checkpoint is never zero-row (an
-    empty stage directory cannot be re-read)."""
+    empty stage directory cannot be re-read). Returns
+    ``(mapping, dataset)`` — the dataset is surfaced in run_er's output
+    so state publication keeps it."""
     from ..stages.blocking import hot_host_sizes
 
     def make():
@@ -290,9 +291,10 @@ def _hot_hosts_checkpointed(stage, deduped, cfg: ERConfig) -> dict:
         parents=("deduped",),
         params={"max_block_size": cfg.max_block_size},
     )
-    return {
+    mapping = {
         r["host"]: r["n_pages"] for r in hot_ds.take_all() if r["n_pages"] >= 0
     }
+    return mapping, hot_ds
 
 
 def _empty_outputs() -> dict:
@@ -303,9 +305,16 @@ def _empty_outputs() -> dict:
     def t(fields):
         return rd.from_arrow(pa.schema(fields).empty_table())
 
+    from ..stages.scoring import scored_schema
+
     s = pa.string()
-    f = pa.float64()
+    sentinel_hot = rd.from_arrow(
+        pa.table(
+            {"host": pa.array([""], s), "n_pages": pa.array([-1], pa.int64())}
+        )
+    )
     return {
+        "hot_hosts": sentinel_hot,
         "deduped": t([("url", s), ("warc_ts", pa.timestamp("us")), ("text", s), ("lang", s)]),
         "features": t([("url", s), ("uid", pa.int64()), ("title", s),
                        ("n_tokens", pa.int64()), ("sketch", pa.binary()),
@@ -313,8 +322,7 @@ def _empty_outputs() -> dict:
         "blocks": t([("block_key", pa.int64()), ("uid", pa.int64())]),
         "block_stats": t([("block_key", pa.int64()), ("n_members", pa.int64())]),
         "pairs": t([("uid_a", pa.int64()), ("uid_b", pa.int64())]),
-        "scored": t([("url_a", s), ("url_b", s), ("jaccard", f), ("jw_title", f),
-                     ("jw_url", f), ("score", f), ("is_match", pa.bool_())]),
+        "scored": rd.from_arrow(scored_schema().empty_table()),
         "edges": t([("url_a", s), ("url_b", s)]),
         "clusters": t([("url", s), ("cluster_id", s)]),
         "golden": t([("cluster_id", s), ("canonical_url", s), ("n_members", pa.int64()),

@@ -92,11 +92,22 @@ def _isin_scan(ds, col: str, value_ref, *, keep: bool = True):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _to_pandas(ds, cols: list[str]) -> pd.DataFrame:
-    """Bounded collect that survives empty datasets: a zero-row Dataset
+def _to_pandas(ds, cols: list[str], *, cap: int | None = None, what: str = "") -> pd.DataFrame:
+    """Driver collect that survives empty datasets (a zero-row Dataset
     loses its schema through filter scans, so ``to_pandas`` returns a
-    column-less frame — rebuild the expected (empty) columns instead."""
-    df = ds.to_pandas()
+    column-less frame — rebuild the expected empty columns) and, when
+    ``cap`` is given, bounds driver memory BEFORE absorbing the data:
+    ``limit(cap+1)`` streams and stops early, so an oversized collect
+    raises without the driver ever holding more than ``cap`` rows."""
+    if cap is not None:
+        df = ds.limit(cap + 1).to_pandas()
+        if len(df) > cap:
+            raise ValueError(
+                f"incremental driver collect '{what}' exceeds {cap} rows; "
+                "the delta/affected set is too large — run the full pipeline"
+            )
+    else:
+        df = ds.to_pandas()
     if df.shape[1] == 0:
         return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
     return df
@@ -105,6 +116,19 @@ def _to_pandas(ds, cols: list[str]) -> pd.DataFrame:
 def _column_numpy(ds, col: str):
     """One column of a (bounded) dataset to the driver as a numpy array."""
     return _to_pandas(ds.select_columns([col]), [col])[col].to_numpy()
+
+
+def _distinct_int64(ds, col: str) -> np.ndarray:
+    """Distinct values of an int64 column, with a per-batch ``np.unique``
+    combiner so only each block's distinct set reaches the driver."""
+
+    def u(t: pa.Table) -> pa.Table:
+        vals = np.unique(t[col].to_numpy(zero_copy_only=False))
+        return pa.table({col: pa.array(vals, pa.int64())})
+
+    return np.unique(
+        _column_numpy(ds.map_batches(u, batch_format="pyarrow"), col)
+    )
 
 
 def candidate_pairs_delta(
@@ -185,16 +209,82 @@ def _flag(value: bool):
     return f
 
 
-def write_state(outputs: dict, state_dir: str, run_id: str) -> CheckpointRunner:
+def _stage_params(cfg: ERConfig) -> dict[str, dict]:
+    """The per-stage parameters that must MATCH between the state
+    producer and an incremental consumer for result equivalence (the
+    same params run_er records in its stage manifests)."""
+    return {
+        "features": {"seed": cfg.seed},
+        "blocks": {
+            "max_block_size": cfg.max_block_size,
+            "salt_hot_hosts": cfg.salt_hot_hosts,
+        },
+        "scored": {"threshold": cfg.threshold},
+    }
+
+
+def write_state(
+    outputs: dict, state_dir: str, run_id: str, cfg: ERConfig | None = None
+) -> CheckpointRunner:
     """Publish a result dict (from ``run_er`` or ``run_er_incremental``)
     as a checkpointed state under ``state_dir/run_id`` so a later
     incremental run can resume from it. Writes the :data:`STATE_STAGES`
-    plus ``hot_hosts`` when present."""
-    ck = CheckpointRunner(state_dir, run_id)
+    plus ``hot_hosts`` when present.
+
+    An existing ``run_id`` directory is REPLACED (publication semantics —
+    without this, CheckpointRunner would see valid manifests and silently
+    keep the old state). The replace is write-aside-then-swap: the
+    incoming datasets may be lazy scans OVER the old state's parquet, so
+    the old directory must stay readable until every stage is written.
+    Pass ``cfg`` to record the stage-relevant parameters in the manifests
+    so a later ``run_er_incremental`` can verify config compatibility."""
+    import os
+    import shutil
+
+    tmp_id = f".publishing-{run_id}"
+    tmp = CheckpointRunner(state_dir, tmp_id)
+    shutil.rmtree(tmp.dir, ignore_errors=True)
+    tmp = CheckpointRunner(state_dir, tmp_id)
+    params = _stage_params(cfg) if cfg is not None else {}
     for name in STATE_STAGES + (("hot_hosts",) if "hot_hosts" in outputs else ()):
         ds = outputs[name]
-        ck.run_stage(name, lambda ds=ds: ds)
-    return ck
+        tmp.run_stage(name, lambda ds=ds: ds, params=params.get(name))
+    final_dir = os.path.join(state_dir, run_id)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.replace(tmp.dir, final_dir)
+    return CheckpointRunner(state_dir, run_id)
+
+
+def _check_cfg_compat(prev: CheckpointRunner, cfg: ERConfig) -> None:
+    """The full-run-equivalence contract requires the delta to be
+    processed with the SAME seed / block cap / threshold the state was
+    built with. The manifests record exactly those params (run_er and
+    write_state both write them) — compare their digests and fail loudly
+    on a mismatch instead of silently producing orphan singletons."""
+    import hashlib
+    import json
+
+    mismatched = []
+    for stage, params in _stage_params(cfg).items():
+        mp = prev._manifest_path(stage)
+        try:
+            with open(mp) as f:
+                recorded = json.load(f).get("params_digest")
+        except OSError:
+            continue
+        if recorded is None:
+            continue  # state published without cfg — nothing to check
+        expected = hashlib.sha256(
+            json.dumps(params, sort_keys=True).encode()
+        ).hexdigest()
+        if recorded != expected:
+            mismatched.append(stage)
+    if mismatched:
+        raise ValueError(
+            f"ERConfig mismatch vs previous state for stages {mismatched}: "
+            "the incremental run must use the same seed / max_block_size / "
+            "salt_hot_hosts / threshold the state was built with"
+        )
 
 
 def run_er_incremental(
@@ -227,6 +317,7 @@ def run_er_incremental(
             f"previous run '{prev_run_id}' in {state_dir} is missing stages "
             f"{missing}; run the full pipeline with a checkpoint_dir first"
         )
+    _check_cfg_compat(prev, cfg)
     prev_deduped = prev.read_stage("deduped")
     prev_features = prev.read_stage("features")
     prev_blocks = prev.read_stage("blocks")
@@ -273,6 +364,8 @@ def run_er_incremental(
         )
 
     def passthrough(n_eff: int = 0) -> dict:
+        # same key set as the normal path — callers must not crash only
+        # on the no-op-delta day
         out = {
             "deduped": prev_deduped,
             "features": prev_features,
@@ -280,6 +373,21 @@ def run_er_incremental(
             "scored": prev_scored,
             "clusters": prev_clusters,
             "golden": prev_golden,
+            "delta_deduped": rd.from_arrow(
+                pa.schema(
+                    [
+                        ("url", pa.string()),
+                        ("warc_ts", pa.timestamp("us")),
+                        ("text", pa.string()),
+                        ("lang", pa.string()),
+                    ]
+                ).empty_table()
+            ),
+            "pairs": rd.from_arrow(
+                pa.schema(
+                    [("uid_a", pa.int64()), ("uid_b", pa.int64())]
+                ).empty_table()
+            ),
             "incremental": {
                 "n_delta": n_delta,
                 "n_effective": n_eff,
@@ -331,7 +439,7 @@ def run_er_incremental(
     ).materialize()
 
     # ---- 4. touched blocks → delta-involving candidate pairs ------------
-    delta_keys = np.unique(_column_numpy(delta_blocks, "block_key"))
+    delta_keys = _distinct_int64(delta_blocks, "block_key")
     key_ref = ray.put(pa.array(delta_keys, pa.int64()))
     touched_prev = _isin_scan(prev_blocks, "block_key", key_ref)
     inval_uids = np.sort(
@@ -390,9 +498,13 @@ def run_er_incremental(
                 batch_format="pyarrow",
             ),
             ["url_a", "url_b"],
+            cap=delta_cap * 4,
+            what="new match edges",
         )
     else:
-        scored = rd.from_arrow(_scored_schema().empty_table())
+        from ..stages.scoring import scored_schema
+
+        scored = rd.from_arrow(scored_schema().empty_table())
         new_edges = pd.DataFrame({"url_a": [], "url_b": []}, dtype=str)
 
     # ---- 6. affected clusters (contain an invalidated url) --------------
@@ -408,7 +520,10 @@ def run_er_incremental(
     if aff_cids:
         cid_ref = ray.put(pa.array(aff_cids, pa.string()))
         aff_members = _to_pandas(
-            _isin_scan(prev_clusters, "cluster_id", cid_ref), ["url", "cluster_id"]
+            _isin_scan(prev_clusters, "cluster_id", cid_ref),
+            ["url", "cluster_id"],
+            cap=delta_cap,
+            what="affected cluster members",
         )
         aset_ref = ray.put(pa.array(np.sort(aff_members["url"].to_numpy()), pa.string()))
 
@@ -428,6 +543,8 @@ def run_er_incremental(
         prev_edges = _to_pandas(
             prev_scored.map_batches(aff_edges, batch_format="pyarrow"),
             ["url_a", "url_b"],
+            cap=delta_cap * 4,
+            what="surviving edges of affected clusters",
         )
         # edges touching an invalidated url are stale (the updated content
         # is re-scored via the delta path)
@@ -517,7 +634,17 @@ def run_er_incremental(
     changed_ref = ray.put(pa.array(sorted(changed_final), pa.string()))
     changed_members = _isin_scan(clusters, "cluster_id", changed_ref).materialize()
     member_ref = ray.put(
-        pa.array(np.sort(_column_numpy(changed_members, "url")), pa.string())
+        pa.array(
+            np.sort(
+                _to_pandas(
+                    changed_members.select_columns(["url"]),
+                    ["url"],
+                    cap=delta_cap * 4,
+                    what="changed cluster members",
+                )["url"].to_numpy()
+            ),
+            pa.string(),
+        )
     )
     # combined deduped view of the changed members: previous rows (minus
     # invalidated) + effective delta rows — both pure map scans
@@ -642,15 +769,3 @@ def golden_diff(prev_golden, cur_golden, *, n_buckets: int = 64):
     return bucketed_map_groups(both, "cluster_id", diff)
 
 
-def _scored_schema() -> pa.Schema:
-    return pa.schema(
-        [
-            ("url_a", pa.string()),
-            ("url_b", pa.string()),
-            ("jaccard", pa.float64()),
-            ("jw_title", pa.float64()),
-            ("jw_url", pa.float64()),
-            ("score", pa.float64()),
-            ("is_match", pa.bool_()),
-        ]
-    )

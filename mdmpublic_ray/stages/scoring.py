@@ -129,6 +129,23 @@ def pad_sketch_column(col, width: int | None = None) -> tuple[np.ndarray, np.nda
 BROADCAST_FEATURES_THRESHOLD = 1_000_000
 
 
+def scored_schema() -> pa.Schema:
+    """The scored-pairs output schema — the ONE definition shared by
+    ``score_pairs`` consumers that must fabricate typed empty results
+    (er.py, er_incremental.py)."""
+    return pa.schema(
+        [
+            ("url_a", pa.string()),
+            ("url_b", pa.string()),
+            ("jaccard", pa.float64()),
+            ("jw_title", pa.float64()),
+            ("jw_url", pa.float64()),
+            ("score", pa.float64()),
+            ("is_match", pa.bool_()),
+        ]
+    )
+
+
 def score_pairs(
     pairs_ds,
     features_ds,

@@ -129,6 +129,8 @@ class CheckpointRunner:
         ds = make()
         ds.write_parquet(tmp)
         wall = time.monotonic() - t0
+        # an empty dataset writes no fragment — and no directory at all
+        os.makedirs(tmp, exist_ok=True)
         frags = _fragments(tmp)
         # row count from parquet footers (cheap, no second pass over data)
         import pyarrow.parquet as pq
@@ -145,6 +147,19 @@ class CheckpointRunner:
             "wall_seconds": round(wall, 3),
             "created_unix": int(time.time()),
         }
+        if not frags:
+            # a zero-row stage writes no parquet fragment, so the schema
+            # would be unrecoverable on re-read — persist it in the
+            # manifest (IPC-serialized) and _read reconstructs a typed
+            # empty dataset instead of failing on an empty directory.
+            try:
+                import pyarrow as _pa  # noqa: F401
+
+                manifest["empty_schema"] = bytes(
+                    ds.schema(fetch_if_missing=True).base_schema.serialize()
+                ).hex()
+            except Exception:
+                pass
         with open(os.path.join(tmp, "_manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         with open(os.path.join(tmp, "_metrics.json"), "w") as f:
@@ -193,6 +208,14 @@ class CheckpointRunner:
         try:
             with open(os.path.join(sd, "_manifest.json")) as f:
                 man = _json.load(f)
+            if not man.get("fragments") and man.get("empty_schema"):
+                import pyarrow as _pa
+                import pyarrow.ipc as _ipc
+
+                schema = _ipc.read_schema(
+                    _pa.BufferReader(bytes.fromhex(man["empty_schema"]))
+                )
+                return rd.from_arrow(schema.empty_table())
             n_frags = max(1, len(man.get("fragments", [])))
             rows = man.get("rows", 0)
             # ~10k rows per block: enough rows that per-task overhead

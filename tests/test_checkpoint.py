@@ -226,3 +226,25 @@ def test_retention_and_cadence(tmp_path):
     # diff with empty base falls back to fresh
     p = plan_run(str(tmp_path / "none"), "2024-01-10", 2)
     assert p["resumed"] is False
+
+
+def test_empty_stage_roundtrip(ray_session, tmp_path):
+    """A zero-row stage writes no parquet fragment; the manifest persists
+    the schema so read_stage returns a typed empty dataset instead of
+    failing on an empty directory."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.state.checkpoint import CheckpointRunner
+
+    ck = CheckpointRunner(str(tmp_path / "ck"), "r")
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    ck.run_stage("empty", lambda: rd.from_arrow(schema.empty_table()))
+
+    got = ck.read_stage("empty")
+    assert got.count() == 0
+    assert got.schema().base_schema.equals(schema)
+    # a rerun still treats the fragment-less stage as valid → skipped
+    ck2 = CheckpointRunner(str(tmp_path / "ck"), "r")
+    ck2.run_stage("empty", lambda: rd.from_arrow(schema.empty_table()))
+    assert ck2.skipped == ["empty"]

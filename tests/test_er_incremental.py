@@ -96,7 +96,7 @@ def test_incremental_chain_two_deltas(ray_session, split_corpus, tmp_path):
     inc1 = run_er_incremental(
         rd.from_arrow(d1), _cfg(), state_dir=state, prev_run_id="base"
     )
-    write_state(inc1, state, "inc1")
+    write_state(inc1, state, "inc1", _cfg())
     inc2 = run_er_incremental(
         rd.from_arrow(d2), _cfg(), state_dir=state, prev_run_id="inc1"
     )
@@ -191,3 +191,54 @@ def test_missing_state_raises(ray_session, tmp_path):
             state_dir=str(tmp_path / "nope"),
             prev_run_id="ghost",
         )
+
+
+def test_config_mismatch_raises(ray_session, split_corpus, tmp_path):
+    """Processing a delta with a different seed/threshold than the state
+    was built with silently breaks equivalence — it must fail loudly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.corpus import PAGES_SCHEMA
+
+    _, base, _ = split_corpus
+    state = str(tmp_path / "state")
+    run_er(rd.from_arrow(base), _cfg(state, "base"))
+
+    bad = _cfg()
+    bad.seed = 99
+    with pytest.raises(ValueError, match="ERConfig mismatch"):
+        run_er_incremental(
+            rd.from_arrow(PAGES_SCHEMA.empty_table()),
+            bad,
+            state_dir=state,
+            prev_run_id="base",
+        )
+
+
+def test_write_state_replaces_and_keeps_hot_hosts(ray_session, split_corpus, tmp_path):
+    """write_state must (a) carry the hot-host table from run_er's output
+    (checkpoint-less base runs included) and (b) REPLACE an existing
+    run_id rather than silently serving the stale state."""
+    import ray.data as rd
+
+    from mdmpublic_ray.state.checkpoint import CheckpointRunner
+
+    pages, base, delta = split_corpus
+    state = str(tmp_path / "state")
+
+    out0 = run_er(rd.from_arrow(base), _cfg())  # NO checkpoint dir
+    assert "hot_hosts" in out0
+    write_state(out0, state, "latest", _cfg())
+    assert "hot_hosts" in CheckpointRunner(state, "latest").stage_names()
+
+    inc = run_er_incremental(
+        rd.from_arrow(delta), _cfg(), state_dir=state, prev_run_id="latest"
+    )
+    full = run_er(rd.from_arrow(pages), _cfg())
+    pd.testing.assert_frame_equal(_clusters_df(inc), _clusters_df(full))
+
+    # republish under the SAME id: the new (post-delta) state must win
+    write_state(inc, state, "latest", _cfg())
+    rows = CheckpointRunner(state, "latest").read_stage("clusters").count()
+    assert rows == len(_clusters_df(full))
