@@ -178,6 +178,72 @@ def test_golden_diff_statuses(ray_session, split_corpus, tmp_path):
     assert (same["n_members_prev"] == same["n_members_cur"]).all()
 
 
+def test_update_splits_cluster(ray_session, tmp_path):
+    """The hardest incremental path: an UPDATED page whose new text is
+    unrelated must leave its old cluster (stale edges dropped, affected
+    cluster re-closed from surviving edges) — and the result must still
+    equal the full run over the combined corpus."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.corpus import PAGES_SCHEMA, build_html
+
+    host = "site-000.example"
+
+    def page(url, ts, toks, crawl=0):
+        text = " ".join(toks)
+        return {
+            "url": url,
+            "warc_ts": ts,
+            "html": build_html(" ".join(toks[:3]), [text], f"crawl {crawl}"),
+            "text": text,
+            "lang": "en",
+        }
+
+    t0 = dt.datetime(2024, 1, 1)
+    shared = [f"tok{i}" for i in range(40)]
+    other = [f"zzz{i}" for i in range(40)]
+    # base: a 3-member cluster (a, b, c near-identical) + an unrelated pair
+    base_rows = [
+        page(f"https://{host}/a", t0, shared),
+        page(f"https://{host}/b", t0, shared[:-1] + ["tokx"]),
+        page(f"https://{host}/c", t0, shared[:-2] + ["toky", "tokz"]),
+        page(f"https://{host}/d", t0, other),
+        page(f"https://{host}/e", t0, other[:-1] + ["zzzx"]),
+    ]
+    # delta: /b re-crawled with COMPLETELY different text → must leave
+    # {a,b,c}; a and c must STAY clustered via their own direct edge
+    new_text = [f"qqq{i}" for i in range(40)]
+    delta_rows = [page(f"https://{host}/b", t0 + dt.timedelta(days=1), new_text, 1)]
+
+    def tbl(rows):
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    state = str(tmp_path / "state")
+    out0 = run_er(rd.from_arrow(tbl(base_rows)), _cfg(state, "base"))
+    c0 = dict(
+        zip(*(lambda d: (d["url"], d["cluster_id"]))(_clusters_df(out0)))
+    )
+    assert c0[f"https://{host}/a"] == c0[f"https://{host}/b"] == c0[f"https://{host}/c"]
+
+    inc = run_er_incremental(
+        rd.from_arrow(tbl(delta_rows)), _cfg(), state_dir=state, prev_run_id="base"
+    )
+    assert inc["incremental"]["n_invalidated"] == 1
+    ci = dict(
+        zip(*(lambda d: (d["url"], d["cluster_id"]))(_clusters_df(inc)))
+    )
+    # b left; a and c still together
+    assert ci[f"https://{host}/a"] == ci[f"https://{host}/c"]
+    assert ci[f"https://{host}/b"] != ci[f"https://{host}/a"]
+
+    full = run_er(rd.from_arrow(tbl(base_rows + delta_rows)), _cfg())
+    pd.testing.assert_frame_equal(_clusters_df(inc), _clusters_df(full))
+    pd.testing.assert_frame_equal(_golden_df(inc), _golden_df(full))
+
+
 def test_missing_state_raises(ray_session, tmp_path):
     import pyarrow as pa
     import ray.data as rd
