@@ -244,6 +244,42 @@ def test_update_splits_cluster(ray_session, tmp_path):
     pd.testing.assert_frame_equal(_golden_df(inc), _golden_df(full))
 
 
+def test_incremental_with_hot_host_salting(ray_session, tmp_path):
+    """Skew path: base state built WITH an active hot-host table (small
+    max_block_size forces the big portal hot); the delta reuses the
+    recorded salt table so its block keys stay comparable, and the final
+    clustering must still be perfect against planted truth."""
+    import ray.data as rd
+
+    from mdmpublic_ray.corpus import generate_pages, split_base_delta
+    from mdmpublic_ray.pipelines.er import pairwise_metrics
+
+    pages, truth, labels = generate_pages(
+        n_clusters=50, seed=13, hot_host_frac=0.5
+    )
+    base, delta = split_base_delta(pages)
+
+    def cfg(ck=None, rid="base"):
+        c = _cfg(ck, rid)
+        c.max_block_size = 32  # big-portal exceeds this → salted
+        return c
+
+    state = str(tmp_path / "state")
+    out0 = run_er(rd.from_arrow(base), cfg(state, "base"))
+    hot = {
+        r["host"]
+        for r in out0["hot_hosts"].take_all()
+        if r["n_pages"] >= 0 and r["host"]
+    }
+    assert "big-portal.example" in hot  # the salt table is genuinely active
+
+    inc = run_er_incremental(
+        rd.from_arrow(delta), cfg(), state_dir=state, prev_run_id="base"
+    )
+    m = pairwise_metrics(inc["clusters"], rd.from_arrow(labels))
+    assert m["f1"] == 1.0, m
+
+
 def test_missing_state_raises(ray_session, tmp_path):
     import pyarrow as pa
     import ray.data as rd
