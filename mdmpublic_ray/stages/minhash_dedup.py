@@ -59,7 +59,77 @@ class _DocFeatures:
         )
 
 
-def near_dup_clusters(sf_dir: str, *, threshold: float = 0.6, num_partitions=None):
+# Below this many docs the sketch table is broadcast (ray.put once) and
+# pair verification is a zero-shuffle map — the same size-aware plan
+# selection as stages/scoring.py. The two bucketed joins remain the
+# beyond-broadcast path (forced with broadcast_threshold=0 in tests).
+BROADCAST_SKETCH_THRESHOLD = 500_000
+
+_SKETCH_CACHE: dict = {}
+
+
+def _sketch_payload(ref):
+    key = ref.hex()
+    if key not in _SKETCH_CACHE:
+        import ray
+
+        _SKETCH_CACHE.clear()
+        _SKETCH_CACHE[key] = ray.get(ref)
+    return _SKETCH_CACHE[key]
+
+
+def _sketch_broadcast_ref(feats):
+    """(sorted uids, padded uint64 sketch matrix, lens) in the object
+    store — fixed-width padding happens in the workers (parallel); the
+    driver only concatenates fixed-width buffers (memcpy)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .scoring import pad_sketch_column
+
+    fb_type = pa.binary(SKETCH_K * 8)
+
+    def to_fixed(t: pa.Table) -> pa.Table:
+        mat, lens = pad_sketch_column(t["sketch"], width=SKETCH_K)
+        skfix = pa.Array.from_buffers(
+            fb_type, mat.shape[0], [None, pa.py_buffer(mat.tobytes())]
+        )
+        return pa.table(
+            {"uid": t["uid"], "skfix": skfix, "slen": pa.array(lens)}
+        )
+
+    tbl = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in feats.select_columns(["uid", "sketch"])
+            .map_batches(to_fixed, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ]
+    ).combine_chunks()
+    tbl = tbl.take(pc.sort_indices(tbl["uid"]))
+    sk = tbl["skfix"].combine_chunks()
+    mat = np.frombuffer(
+        sk.buffers()[1],
+        dtype=np.uint64,
+        count=len(sk) * SKETCH_K,
+        offset=sk.offset * SKETCH_K * 8,
+    ).reshape(len(sk), SKETCH_K)
+    return ray.put(
+        (
+            tbl["uid"].to_numpy(zero_copy_only=False),
+            mat,
+            tbl["slen"].to_numpy(zero_copy_only=False),
+        )
+    )
+
+
+def near_dup_clusters(
+    sf_dir: str,
+    *,
+    threshold: float = 0.6,
+    num_partitions=None,
+    broadcast_threshold: int = BROADCAST_SKETCH_THRESHOLD,
+):
     """documents → (doc_id, rep_id): rep_id = min doc_id of the component."""
     from .util import default_partitions
 
@@ -84,6 +154,31 @@ def near_dup_clusters(sf_dir: str, *, threshold: float = 0.6, num_partitions=Non
 
     if pairs.count() == 0:
         edges = None
+    elif broadcast_threshold and feats.count() <= broadcast_threshold:
+        # zero-shuffle verify: sketches ride the object store once,
+        # pair batches look them up by searchsorted
+        ref = _sketch_broadcast_ref(feats)
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            from .scoring import sketch_jaccard_batch
+
+            uids, mat, lens = _sketch_payload(ref)
+            ia = np.searchsorted(uids, t["uid_a"].to_numpy(zero_copy_only=False))
+            ib = np.searchsorted(uids, t["uid_b"].to_numpy(zero_copy_only=False))
+            jac = sketch_jaccard_batch(mat[ia], lens[ia], mat[ib], lens[ib], SKETCH_K)
+            sel = t.take(np.nonzero(jac >= threshold)[0])
+            return pa.table(
+                {
+                    "url_a": sel["uid_a"].cast(pa.string()),
+                    "url_b": sel["uid_b"].cast(pa.string()),
+                }
+            )
+
+        edges = pairs.map_batches(
+            verify_broadcast, batch_format="pyarrow", batch_size=2048
+        ).materialize()
+        if edges.count() == 0:
+            edges = None
     else:
         from .util import bucketed_join
 
