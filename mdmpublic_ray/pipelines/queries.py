@@ -1158,6 +1158,61 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.45
 """
 
 
+def q_embeddings_clusters(sf_dir: str):
+    """Embedding near-duplicate CLUSTERS: distributed transitive closure
+    (stages/cluster.py connected components — the ER engine's clustering
+    core) over the exact cosine near-dup graph, oracle-checked against a
+    DuckDB RECURSIVE CTE doing min-label reachability. cluster_id = the
+    minimum vec_id of the component.
+
+    The CC operator propagates lexicographic-min string labels; vec_ids
+    are zero-padded to fixed width so lexicographic min == numeric min,
+    then cast back — same trick documented in stages/minhash_dedup.py."""
+    from ..stages.cluster import connected_components
+    from ..stages.simjoin import cosine_pairs_tiled
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = cosine_pairs_tiled(ds, tau=0.45, n_blocks=4)
+
+    def pad(col):
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({"url_a": pad(t["vec_id_a"]), "url_b": pad(t["vec_id_b"])}),
+        batch_format="pyarrow",
+    )
+    nodes = read_table(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        lambda t: pa.table({"url": pad(t["vec_id"])}), batch_format="pyarrow"
+    )
+    cc = connected_components(edges, nodes)
+    return cc.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": pc.cast(t["url"], pa.int64()),
+                "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EMBEDDINGS_CLUSTERS = """
+WITH RECURSIVE
+t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+e AS (SELECT a.vec_id AS a, b.vec_id AS b
+      FROM t a JOIN t b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.45),
+ee AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+reach(id, lbl) AS (
+  SELECT vec_id, vec_id FROM t
+  UNION
+  SELECT ee.b, r.lbl FROM reach r JOIN ee ON ee.a = r.id
+)
+SELECT id AS vec_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
 def q_knn_cosine_lsh(sf_dir: str):
     """LSH-bucketed approximate top-k (scale path for `knn_cosine`;
     rows-only — approximate results have no SQL oracle; recall vs the
@@ -2077,6 +2132,7 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "embedding_dims": q_embedding_dims,
     "embeddings_neardup": q_embeddings_neardup,
+    "embeddings_clusters": q_embeddings_clusters,
     "log_auth_events": q_log_auth_events,
     "log_failed_by_ip": q_log_failed_by_ip,
     "log_session_durations": q_log_session_durations,
@@ -2143,6 +2199,7 @@ ORACLE_SQL = {
     "knn_cosine": SQL_KNN,
     "embedding_dims": SQL_EMBEDDING_DIMS,
     "embeddings_neardup": SQL_EMBEDDINGS_NEARDUP,
+    "embeddings_clusters": SQL_EMBEDDINGS_CLUSTERS,
     "log_auth_events": _sql_log_auth_events(),
     "log_failed_by_ip": _sql_log_failed_by_ip(),
     "log_session_durations": _sql_log_session_durations(),
