@@ -109,3 +109,18 @@ tok AS (SELECT page_id, text,
 SELECT page_id, n_tokens, {split_sql_case('page_id')} AS split, text
 FROM tok WHERE n_tokens >= {MIN_DOC_TOKENS}
 """
+
+
+def write_web_prep(ds, out_dir: str) -> dict:
+    """Persist prepared training data as split-partitioned parquet
+    (``out_dir/split=train/...`` etc.) — the resumable-output layout: a
+    re-run targets a fresh directory and a failed run's partial output is
+    inspectable per partition; consumers read one split with partition
+    pruning (``read_parquet(out_dir, filter=...)`` never touches the
+    other splits' files). Returns per-split row counts."""
+    from ray.data.aggregate import Count
+
+    ds = ds.materialize()
+    ds.write_parquet(out_dir, partition_cols=["split"])
+    counts = ds.groupby("split").aggregate(Count()).take_all()
+    return {r["split"]: int(r["count()"]) for r in counts}

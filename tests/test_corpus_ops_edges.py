@@ -48,3 +48,28 @@ def test_scrub_empty_text(ray_session):
     assert bp["n_kept"][0].as_py() == 0 and bp["clean_text"][0].as_py() == ""
     red = redact_pii_batch(t)
     assert red["clean_text"][0].as_py() == ""
+
+
+def test_write_web_prep_partitioned_layout(ray_session, tmp_path):
+    """Split-partitioned parquet output: hive layout per split, partition
+    pruning on re-read, and a re-read that matches the written rows."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.webprep import run_web_prep, write_web_prep
+    from mdmpublic_ray.sources.webtext import read_webpages
+
+    out = str(tmp_path / "prep")
+    prepared = run_web_prep(read_webpages())
+    counts = write_web_prep(prepared, out)
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("split="))
+    assert dirs and {d.split("=", 1)[1] for d in dirs} == set(counts)
+    back = rd.read_parquet(out)
+    assert back.count() == sum(counts.values())
+    # partition pruning: one split reads only its own rows
+    one = sorted(counts)[0]
+    only = rd.read_parquet(os.path.join(out, f"split={one}"))
+    assert only.count() == counts[one]
