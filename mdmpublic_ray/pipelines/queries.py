@@ -1874,6 +1874,67 @@ SELECT doc_id, lang FROM (
 WHERE rk <= {_SAMPLE_K}
 """
 
+
+def _mixture_quota(source: str) -> int:
+    """Deterministic per-source quota for the mixture sampler: sources
+    are weighted 1..4 cyclically (a stand-in for configured domain
+    weights — e.g. wiki 4×, web 1×), quota = 4 × weight rows."""
+    i = int(source.removeprefix("src") or 0)
+    return 4 * ((i % 4) + 1)
+
+
+def q_docs_mixture_sample(sf_dir: str):
+    """Domain-mixture sampling — the corpus-assembly step that draws a
+    FIXED QUOTA per source to hit configured mixing weights (e.g. 4:1
+    wiki:web), deterministically: per source, the quota docs with the
+    smallest salted-md5 rank. Same combiner shape as the stratified
+    sampler (each batch emits ≤ quota rows per source), with per-group
+    variable k."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def topq(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["rk", "doc_id"], kind="mergesort")
+        out = df.groupby("source", sort=False, group_keys=False).apply(
+            lambda g: g.head(_mixture_quota(g.name)), include_groups=True
+        )
+        return out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "source": df["source"],
+                "rk": df["doc_id"].map(
+                    lambda i: hashlib.md5(f"{_SAMPLE_SALT}{i}".encode()).hexdigest()
+                ),
+            }
+        )
+        return topq(df)
+
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return topq(bucket)[["doc_id", "source"]]
+
+    from ..stages.util import bucketed_map_groups
+
+    return bucketed_map_groups(part, "source", final)
+
+
+def _sql_docs_mixture_sample() -> str:
+    quotas = ",".join(f"('src{i}', {4 * ((i % 4) + 1)})" for i in range(20))
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+      ORDER BY md5('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) t
+JOIN (VALUES {quotas}) q(src, quota) ON t.source = q.src
+WHERE t.rk <= q.quota
+"""
+
 _TOP_TOKENS_K = 20
 
 
@@ -2145,6 +2206,7 @@ QUERIES = {
     "web_boilerplate": q_web_boilerplate,
     "docs_split_assign": q_docs_split_assign,
     "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_mixture_sample": q_docs_mixture_sample,
     "docs_top_tokens": q_docs_top_tokens,
     "docs_len_quantiles": q_docs_len_quantiles,
     "docs_len_quantiles_by_lang": q_docs_len_quantiles_by_lang,
@@ -2212,6 +2274,7 @@ ORACLE_SQL = {
     "web_boilerplate": _sql_web_boilerplate(),
     "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
+    "docs_mixture_sample": _sql_docs_mixture_sample(),
     "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
     "docs_len_quantiles": SQL_DOCS_LEN_QUANTILES,
     "docs_len_quantiles_by_lang": SQL_DOCS_LEN_QUANTILES_BY_LANG,
