@@ -43,8 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle per SQL-expressible query (same column names; exact
     fixed-point sums — see queries.py module docstring). Keys absent
-    here (docs_langid, docs_simhash, docs_minhash_clusters,
-    knn_cosine_lsh, er_clusters, er_golden, pages_media_features) are
+    here (docs_simhash*, docs_minhash_clusters, knn_cosine_lsh/_ivf,
+    er_clusters, er_golden, er_incremental, pages_media_features) are
     non-SQL-expressible / approximate pipelines → rows-only check."""
     from mdmpublic_ray.pipelines.queries import ORACLE_SQL
 

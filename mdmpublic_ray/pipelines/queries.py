@@ -1255,7 +1255,10 @@ SQL_EMBEDDING_DIMS = "SELECT vec_id, len(embedding) AS dim FROM embeddings"
 
 
 def q_docs_langid(sf_dir: str):
-    """Heuristic language id (text-analysis op; no SQL oracle)."""
+    """Heuristic language id — marker-word voting (text-analysis op).
+    Deterministic, so it IS SQL-expressible: the oracle below replays the
+    same vote (token multiplicity counts per marker set, first language
+    in registration order wins ties, 'und' when no marker hits)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def lid(df: pd.DataFrame) -> pd.DataFrame:
@@ -1264,6 +1267,36 @@ def q_docs_langid(sf_dir: str):
         )
 
     return ds.map_batches(lid, batch_format="pandas")
+
+
+def _sql_docs_langid() -> str:
+    """Generated from the SAME marker constants as functions/text.py, so
+    the two votes cannot drift."""
+    from ..functions.text import _LANG_MARKERS
+
+    score_cols = ",\n  ".join(
+        f"COUNT(*) FILTER (WHERE tok IN ({', '.join(repr(w) for w in sorted(ms))}))"
+        f" AS s_{lang}"
+        for lang, ms in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)  # registration order = tie-break order
+    m = "greatest(" + ", ".join(f"coalesce(s_{l}, 0)" for l in langs) + ")"
+    whens = "\n    ".join(
+        f"WHEN coalesce(s_{l}, 0) = {m} THEN '{l}'" for l in langs
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents),
+sc AS (SELECT doc_id,
+  {score_cols}
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN {m} = 0 OR {m} IS NULL THEN 'und'
+    {whens}
+  END AS lang_pred
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
 
 
 def q_docs_simhash(sf_dir: str):
@@ -2255,6 +2288,7 @@ ORACLE_SQL = {
     "docs_repetition": SQL_DOCS_REPETITION,
     "docs_fingerprint": SQL_DOCS_FINGERPRINT,
     "docs_quality": SQL_DOCS_QUALITY,
+    "docs_langid": _sql_docs_langid(),
     "docs_first_word": SQL_DOCS_FIRST_WORD,
     "docs_lang_counts": SQL_DOCS_LANG_COUNTS,
     "similar_doc_pairs": SQL_SIMILAR_DOC_PAIRS,

@@ -52,7 +52,6 @@ def test_query_matches_oracle(name, ray_session):
 @pytest.mark.parametrize(
     "name",
     [
-        "docs_langid",
         "docs_simhash",
         "docs_simhash_clusters",
         "docs_minhash_clusters",
