@@ -1929,10 +1929,9 @@ def q_docs_mixture_sample(sf_dir: str):
 
     def topq(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["rk", "doc_id"], kind="mergesort")
-        out = df.groupby("source", sort=False, group_keys=False).apply(
-            lambda g: g.head(_mixture_quota(g.name)), include_groups=True
-        )
-        return out
+        pos = df.groupby("source", sort=False).cumcount()
+        quota = df["source"].map(_mixture_quota)
+        return df[pos.to_numpy() < quota.to_numpy()]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame(
