@@ -77,15 +77,47 @@ DELTA_CAP = 2_000_000
 STATE_STAGES = ("deduped", "features", "blocks", "scored", "clusters", "golden")
 
 
+# Above this many values, FP-tolerant broadcast filters switch from an
+# exact Arrow value set to a Bloom filter (functions/bloom.py) — at 10^9
+# delta keys the exact set is too big to probe per batch, the Bloom
+# filter is a fixed-size bit array probed with k gathers.
+BLOOM_MIN = 100_000
+
+
+def _share_values(arr: np.ndarray, *, approx_ok: bool, bloom_min: int | None = None):
+    """ray.put either the exact int64 value set or (over ``bloom_min``,
+    when the call site tolerates false positives) a Bloom filter.
+    ``bloom_min`` defaults to the module's BLOOM_MIN at CALL time (tests
+    monkeypatch it to force the Bloom route)."""
+    import ray
+
+    from ..functions.bloom import BloomFilter
+
+    if bloom_min is None:
+        bloom_min = BLOOM_MIN
+    if approx_ok and arr.size > bloom_min:
+        return ray.put(BloomFilter.build(arr))
+    return ray.put(pa.array(arr, pa.int64()))
+
+
 def _isin_scan(ds, col: str, value_ref, *, keep: bool = True):
     """Broadcast-filter map scan: keep (or drop) rows whose ``col`` is in
-    the ``ray.put``-shared Arrow array. Pure map — the corpus-sized side
-    streams, the delta-sized side rides the object store once per node."""
+    the ``ray.put``-shared value set — an exact Arrow array, or a Bloom
+    filter (keep-side only; the producing site must tolerate false
+    positives — see functions/bloom.py for the per-site analysis). Pure
+    map — the corpus-sized side streams, the delta-sized side rides the
+    object store once per node."""
 
     def f(t: pa.Table) -> pa.Table:
         import ray
 
+        from ..functions.bloom import BloomFilter
+
         vs = ray.get(value_ref)
+        if isinstance(vs, BloomFilter):
+            assert keep, "Bloom filters admit false positives; drop-side filters must be exact"
+            m = pa.array(vs.contains_many(t[col].to_numpy(zero_copy_only=False)))
+            return t.filter(m)
         m = pc.is_in(t[col], value_set=vs)
         return t.filter(m if keep else pc.invert(m))
 
@@ -440,7 +472,9 @@ def run_er_incremental(
 
     # ---- 4. touched blocks → delta-involving candidate pairs ------------
     delta_keys = _distinct_int64(delta_blocks, "block_key")
-    key_ref = ray.put(pa.array(delta_keys, pa.int64()))
+    # FP-tolerant: a false-positive "touched" block has no delta member,
+    # so delta-only pair generation emits nothing from it
+    key_ref = _share_values(delta_keys, approx_ok=True)
     touched_prev = _isin_scan(prev_blocks, "block_key", key_ref)
     inval_uids = np.sort(
         np.array([doc_uid(u) for u in invalidated], dtype=np.int64)
@@ -482,8 +516,9 @@ def run_er_incremental(
         old_need = np.setdiff1d(pair_uids, delta_uids)
         feats = delta_features
         if old_need.size:
+            # FP-tolerant: an extra feature row is dropped by the pair join
             old_feats = _isin_scan(
-                prev_features, "uid", ray.put(pa.array(old_need, pa.int64()))
+                prev_features, "uid", _share_values(old_need, approx_ok=True)
             )
             feats = feats.union(old_feats)
         scored = score_pairs(
