@@ -350,6 +350,13 @@ def run_er_incremental(
             f"{missing}; run the full pipeline with a checkpoint_dir first"
         )
     _check_cfg_compat(prev, cfg)
+    corrupt = [s for s in STATE_STAGES if not prev.is_valid(s)]
+    if corrupt:
+        raise ValueError(
+            f"previous run '{prev_run_id}' has invalid/corrupt stages "
+            f"{corrupt} (manifest-vs-fragment mismatch); re-publish the "
+            "state or run the full pipeline"
+        )
     prev_deduped = prev.read_stage("deduped")
     prev_features = prev.read_stage("features")
     prev_blocks = prev.read_stage("blocks")

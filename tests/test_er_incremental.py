@@ -346,6 +346,31 @@ def test_missing_state_raises(ray_session, tmp_path):
         )
 
 
+def test_corrupt_state_raises(ray_session, split_corpus, tmp_path):
+    """A truncated fragment in the published state must fail loudly at
+    entry (manifest-vs-fragment validation), not crash mid-pipeline."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from mdmpublic_ray.corpus import PAGES_SCHEMA
+
+    _, base, _ = split_corpus
+    state = str(tmp_path / "state")
+    run_er(rd.from_arrow(base), _cfg(state, "base"))
+    frag = sorted(glob.glob(os.path.join(state, "base", "stage=features", "*.parquet")))[0]
+    with open(frag, "r+b") as f:
+        f.truncate(os.path.getsize(frag) // 2)
+    with pytest.raises(ValueError, match="invalid/corrupt"):
+        run_er_incremental(
+            rd.from_arrow(PAGES_SCHEMA.empty_table()),
+            _cfg(),
+            state_dir=state,
+            prev_run_id="base",
+        )
+
+
 def test_config_mismatch_raises(ray_session, split_corpus, tmp_path):
     """Processing a delta with a different seed/threshold than the state
     was built with silently breaks equivalence — it must fail loudly."""
