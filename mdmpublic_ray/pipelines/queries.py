@@ -941,6 +941,71 @@ FROM t
 """
 
 
+def q_docs_distinct_tokens(sf_dir: str):
+    """EXACT corpus-wide distinct-token count without collecting the
+    vocabulary: per-batch token dedup (combiner) → hash-bucketed distinct
+    per bucket → sum of per-bucket counts. One small shuffle of the
+    per-batch-distinct stream; only #buckets count rows reach the
+    driver-side final sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.util import add_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def batch_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        toks = set()
+        for t in df["text"]:
+            toks.update(T.tokens(t))
+        return pd.DataFrame({"tok": sorted(toks)})
+
+    toks = ds.map_batches(batch_tokens, batch_format="pandas")
+
+    def bucket_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(df["tok"].nunique())]})
+
+    agg = (
+        add_bucket(toks, "tok", 64)
+        .groupby("_bucket")
+        .map_groups(
+            lambda df: bucket_distinct(df), batch_format="pandas"
+        )
+        .aggregate(Sum("n", alias_name="n_distinct"))
+    )
+    return pa.table({"n_distinct": pa.array([int(agg["n_distinct"])], pa.int64())})
+
+
+SQL_DOCS_DISTINCT_TOKENS = """
+SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents)
+"""
+
+
+def q_docs_distinct_tokens_hll(sf_dir: str):
+    """HyperLogLog distinct-token estimate (functions/hll.py — the
+    shuffle-free 100-TB path of ``docs_distinct_tokens``): each batch
+    folds its tokens into 2^14 registers, #blocks register arrays
+    max-merge on the driver (16 KB each). Rows-only; the error bound vs
+    the exact operator is asserted in tests/test_hll.py."""
+    from ..functions.hll import hll_estimate, hll_fold, hll_merge
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        toks = set()
+        for t in df["text"]:
+            toks.update(T.tokens(t))
+        regs = hll_fold(np.array(sorted(toks), dtype=object))
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    parts = ds.map_batches(fold, batch_format="pandas").to_pandas()
+    regs = hll_merge([np.frombuffer(b, dtype=np.uint8) for b in parts["regs"]])
+    return pa.table(
+        {"n_distinct_est": pa.array([int(round(hll_estimate(regs)))], pa.int64())}
+    )
+
+
 def q_docs_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
     high within-doc repetition marks low-quality text): per doc, the
@@ -2217,6 +2282,8 @@ QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_token_stats": q_docs_token_stats,
     "docs_repetition": q_docs_repetition,
+    "docs_distinct_tokens": q_docs_distinct_tokens,
+    "docs_distinct_tokens_hll": q_docs_distinct_tokens_hll,
     "docs_fingerprint": q_docs_fingerprint,
     "docs_quality": q_docs_quality,
     "docs_first_word": q_docs_first_word,
@@ -2285,6 +2352,7 @@ ORACLE_SQL = {
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
     "docs_repetition": SQL_DOCS_REPETITION,
+    "docs_distinct_tokens": SQL_DOCS_DISTINCT_TOKENS,
     "docs_fingerprint": SQL_DOCS_FINGERPRINT,
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_langid": _sql_docs_langid(),

@@ -59,6 +59,7 @@ def test_query_matches_oracle(name, ray_session):
         "knn_cosine_lsh",
         "knn_cosine_ivf",
         "er_incremental",
+        "docs_distinct_tokens_hll",
     ],
 )
 def test_rows_only_queries_run(name, ray_session):
