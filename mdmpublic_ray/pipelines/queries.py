@@ -2064,6 +2064,59 @@ FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM do
 GROUP BY tok ORDER BY n DESC, tok LIMIT {_TOP_TOKENS_K}
 """
 
+def q_docs_top_tokens_mg(sf_dir: str):
+    """Misra-Gries heavy hitters (functions/heavyhitters.py) — the
+    bounded-memory scale path for ``docs_top_tokens``: per-batch
+    summaries of fixed capacity merge associatively, so state is
+    O(capacity) not O(|vocab|) at every stage. Each batch ships its
+    ≤ capacity counters plus one sentinel row ("" is not a real token)
+    carrying its decrement error; the driver sums counters per token,
+    sums errors, and trims once (the Metwally merge). Rows-only
+    (approximate with a tracked error bound); agreement with the exact
+    operator on the sf corpora is asserted in tests/test_heavyhitters.py."""
+    from ..functions.heavyhitters import mg_fold, mg_merge, mg_topk
+
+    CAP = 4096
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
+        counts, err = mg_fold(toks, CAP)
+        return pd.DataFrame(
+            {
+                "token": list(counts.keys()) + [""],
+                "n": np.concatenate(
+                    [
+                        np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+                        np.array([err], dtype=np.int64),
+                    ]
+                ),
+            }
+        )
+
+    parts = ds.map_batches(fold, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "n_est": pa.array([], pa.int64()),
+                "err_bound": pa.array([], pa.int64()),
+            }
+        )
+    sentinel = parts["token"] == ""
+    batch_err = int(parts.loc[sentinel, "n"].sum())
+    g = parts[~sentinel].groupby("token", sort=False)["n"].sum()
+    summary = mg_merge([(g.to_dict(), batch_err)], CAP)
+    top = mg_topk(summary, _TOP_TOKENS_K)
+    return pa.table(
+        {
+            "token": pa.array([t for t, _, _ in top], pa.string()),
+            "n_est": pa.array([c for _, c, _ in top], pa.int64()),
+            "err_bound": pa.array([e for _, _, e in top], pa.int64()),
+        }
+    )
+
+
 _QUANTILE_QS = ("0.25", "0.5", "0.75", "0.9", "0.99")
 
 
@@ -2307,6 +2360,7 @@ QUERIES = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_mixture_sample": q_docs_mixture_sample,
     "docs_top_tokens": q_docs_top_tokens,
+    "docs_top_tokens_mg": q_docs_top_tokens_mg,
     "docs_len_quantiles": q_docs_len_quantiles,
     "docs_len_quantiles_by_lang": q_docs_len_quantiles_by_lang,
     "docs_decontaminate": q_docs_decontaminate,

@@ -60,6 +60,7 @@ def test_query_matches_oracle(name, ray_session):
         "knn_cosine_ivf",
         "er_incremental",
         "docs_distinct_tokens_hll",
+        "docs_top_tokens_mg",
     ],
 )
 def test_rows_only_queries_run(name, ray_session):
