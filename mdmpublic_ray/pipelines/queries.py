@@ -1827,6 +1827,136 @@ FROM events GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# Declarative field-level survivorship (stages/survivorship.py) — the
+# general MDM merge-rule engine; golden.py's fixed policy is one instance
+# --------------------------------------------------------------------------
+
+
+def q_user_profile(sf_dir: str):
+    """Per-entity golden profile via declarative survivorship rules:
+    aggregates + latest-wins (ts desc, event_id asc ties) + majority-vote
+    (count desc, value asc ties) resolved in ONE bucketed shuffle."""
+    from ..stages.survivorship import Rule, survivorship
+
+    ds = read_table(
+        sf_dir, "events",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    # Exact fixed-point cents for the money sum (file-head convention):
+    # float accumulation order differs between engines at ~1e-12.
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return t.append_column("value_c", c)
+
+    rules = [
+        Rule(out="n_events", kind="count"),
+        Rule(out="total_value_c", kind="sum", col="value_c"),
+        Rule(out="max_value", kind="max", col="value"),
+        Rule(out="first_ts", kind="min", col="ts"),
+        Rule(out="last_ts", kind="max", col="ts"),
+        Rule(out="last_event_type", kind="latest", col="event_type",
+             by="ts", tiebreak="event_id"),
+        Rule(out="modal_event_type", kind="majority", col="event_type"),
+    ]
+    out = survivorship(ds.map_batches(cents, batch_format="pyarrow"),
+                       "user_id", rules)
+
+    def finish(t: pa.Table) -> pa.Table:
+        tv = pc.divide(pc.cast(t["total_value_c"], pa.float64()), 100.0)
+        return t.drop_columns(["total_value_c"]).append_column("total_value", tv)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_USER_PROFILE = """
+WITH last AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id ASC) AS rn
+  FROM events
+), modal AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type
+), agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value,
+         MAX(value) AS max_value,
+         MIN(ts) AS first_ts, MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+)
+SELECT a.user_id, a.n_events, a.total_value, a.max_value, a.first_ts,
+       a.last_ts, l.event_type AS last_event_type,
+       m.event_type AS modal_event_type
+FROM agg a
+JOIN (SELECT user_id, event_type FROM last WHERE rn = 1) l USING (user_id)
+JOIN (SELECT user_id, event_type FROM modal WHERE rn = 1) m USING (user_id)
+"""
+
+
+# Source-priority ranking for document survivorship: srcN wins over srcM
+# when N < M (deterministic, engine-independent). 100 slots covers every
+# generated sf tier; unlisted sources rank last by construction.
+_SRC_RANKING = tuple(f"src{i}" for i in range(100))
+
+
+def q_docs_survivorship(sf_dir: str):
+    """Exact-duplicate groups (md5 of text) merged by field-level rules:
+    source-priority winner contributes doc_id+source, lang by majority
+    vote, n_chars by max, plus the group size. The D3/D5 dedup family's
+    'which copy survives' policy made declarative."""
+    from ..functions.hashing import content_digest
+    from ..stages.survivorship import Rule, survivorship
+
+    ds = read_table(
+        sf_dir, "documents",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = [content_digest(s) for s in t["text"].to_pylist()]
+        return t.drop_columns(["text"]).append_column("_h", pa.array(h))
+
+    rules = [
+        Rule(out="doc_id", kind="priority", col="source",
+             ranking=_SRC_RANKING, tiebreak="doc_id", emit="doc_id"),
+        Rule(out="source", kind="priority", col="source",
+             ranking=_SRC_RANKING, tiebreak="doc_id", emit="source"),
+        Rule(out="lang", kind="majority", col="lang"),
+        Rule(out="n_chars", kind="max", col="n_chars"),
+        Rule(out="dup_count", kind="count"),
+    ]
+    out = survivorship(ds.map_batches(keyed, batch_format="pyarrow"), "_h", rules)
+    return out.drop_columns(["_h"])
+
+
+SQL_DOCS_SURVIVORSHIP = """
+WITH win AS (
+  SELECT text, doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY text
+                            ORDER BY CAST(substr(source, 4) AS INT) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents
+), modal AS (
+  SELECT text, lang,
+         ROW_NUMBER() OVER (PARTITION BY text
+                            ORDER BY count(*) DESC, lang ASC) AS rn
+  FROM documents GROUP BY text, lang
+), agg AS (
+  SELECT text, MAX(n_chars) AS n_chars,
+         CAST(count(*) AS BIGINT) AS dup_count
+  FROM documents GROUP BY text
+)
+SELECT w.doc_id, w.source, m.lang, a.n_chars, a.dup_count
+FROM (SELECT text, doc_id, source FROM win WHERE rn = 1) w
+JOIN (SELECT text, lang FROM modal WHERE rn = 1) m USING (text)
+JOIN agg a USING (text)
+"""
+
+
+# --------------------------------------------------------------------------
 # Corpus scrubbing (PII redaction, C4-style boilerplate removal) over the
 # deterministic multi-line web-page fixture (sources/webtext.py)
 # --------------------------------------------------------------------------
@@ -2354,6 +2484,8 @@ QUERIES = {
     "hosts_any_invalid": q_hosts_any_invalid,
     "urgent_stale_orders": q_urgent_stale_orders,
     "user_event_types": q_user_event_types,
+    "user_profile": q_user_profile,
+    "docs_survivorship": q_docs_survivorship,
     "web_pii_redact": q_web_pii_redact,
     "web_boilerplate": q_web_boilerplate,
     "docs_split_assign": q_docs_split_assign,
@@ -2425,6 +2557,8 @@ ORACLE_SQL = {
     "hosts_any_invalid": _sql_hosts_any_invalid(),
     "urgent_stale_orders": SQL_URGENT_STALE_ORDERS,
     "user_event_types": SQL_USER_EVENT_TYPES,
+    "user_profile": SQL_USER_PROFILE,
+    "docs_survivorship": SQL_DOCS_SURVIVORSHIP,
     "web_pii_redact": _sql_web_pii_redact(),
     "web_boilerplate": _sql_web_boilerplate(),
     "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
