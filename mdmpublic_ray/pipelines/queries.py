@@ -1957,6 +1957,62 @@ JOIN agg a USING (text)
 
 
 # --------------------------------------------------------------------------
+# Run-over-run row-level snapshot diff (§2.9 / ST6 outer half, data level)
+# --------------------------------------------------------------------------
+
+
+def q_orders_snapshot_diff(sf_dir: str):
+    """Diff two deterministic snapshots of orders by primary key:
+    snapshot A (previous run) lacks keys ≡3 (mod 11); snapshot B
+    (current run) drops keys ≡7 (mod 11) and reprices keys ≡0 (mod 5).
+    One bucketed full-outer join → added/removed/changed/same per key."""
+    from ..stages.diffop import snapshot_diff
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def filt_a(t: pa.Table) -> pa.Table:
+        m = pc.not_equal(
+            pc.subtract(t["o_orderkey"],
+                        pc.multiply(pc.divide(t["o_orderkey"], 11), 11)),
+            3,
+        )
+        return t.filter(m)
+
+    def filt_b(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"]
+        mod11 = pc.subtract(k, pc.multiply(pc.divide(k, 11), 11))
+        t = t.filter(pc.not_equal(mod11, 7))
+        k = t["o_orderkey"]
+        mod5 = pc.subtract(k, pc.multiply(pc.divide(k, 5), 5))
+        newp = pc.if_else(
+            pc.equal(mod5, 0), pc.multiply(t["o_totalprice"], 2.0), t["o_totalprice"]
+        )
+        return pa.table({"o_orderkey": k, "o_totalprice": newp})
+
+    a = orders.map_batches(filt_a, batch_format="pyarrow")
+    b = orders.map_batches(filt_b, batch_format="pyarrow")
+    return snapshot_diff(a, b, "o_orderkey", ["o_totalprice"])
+
+
+SQL_ORDERS_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 != 3
+), b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 11 != 7
+)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice THEN 'changed'
+            ELSE 'same' END AS status
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Corpus scrubbing (PII redaction, C4-style boilerplate removal) over the
 # deterministic multi-line web-page fixture (sources/webtext.py)
 # --------------------------------------------------------------------------
@@ -2486,6 +2542,7 @@ QUERIES = {
     "user_event_types": q_user_event_types,
     "user_profile": q_user_profile,
     "docs_survivorship": q_docs_survivorship,
+    "orders_snapshot_diff": q_orders_snapshot_diff,
     "web_pii_redact": q_web_pii_redact,
     "web_boilerplate": q_web_boilerplate,
     "docs_split_assign": q_docs_split_assign,
@@ -2559,6 +2616,7 @@ ORACLE_SQL = {
     "user_event_types": SQL_USER_EVENT_TYPES,
     "user_profile": SQL_USER_PROFILE,
     "docs_survivorship": SQL_DOCS_SURVIVORSHIP,
+    "orders_snapshot_diff": SQL_ORDERS_SNAPSHOT_DIFF,
     "web_pii_redact": _sql_web_pii_redact(),
     "web_boilerplate": _sql_web_boilerplate(),
     "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
