@@ -389,3 +389,83 @@ def pairwise_metrics(clusters_ds, labels_ds, *, num_partitions: int | None = Non
         "tp": int(tp), "fp": int(fp), "fn": int(fn), "tn": int(tn),
         "precision": prec, "recall": rec, "f1": f1,
     }
+
+
+def blocking_metrics(
+    pairs_ds,
+    truth_ds,
+    *,
+    n_docs: int | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Blocking-quality diagnostics: how good are the candidate pairs
+    BEFORE scoring (the standard record-linkage triple):
+
+    - ``reduction_ratio``   = 1 − |C| / (n·(n−1)/2) — how much of the
+      all-pairs space blocking pruned;
+    - ``pair_completeness`` = |C ∩ T| / |T| — recall of true pairs (an
+      upper bound on end-to-end recall: a true pair blocking misses can
+      never be matched downstream);
+    - ``pair_quality``      = |C ∩ T| / |C| — precision of the candidate
+      set (how much scoring work is spent on non-matches).
+
+    ``pairs_ds``: (uid_a, uid_b); ``truth_ds``: (url, cluster_id) planted
+    truth. uids are ``doc_uid(url)`` (deterministic), so truth maps to
+    uid-space with a pure per-batch hash — no corpus-sized join. The only
+    shuffles are the two candidate⋈truth hash joins and one groupby over
+    the truth table; only scalar counters reach the driver.
+    """
+    from ..stages.blocking import doc_uid
+    from ..stages.util import bucketed_join, default_partitions
+
+    num_partitions = num_partitions or default_partitions()
+
+    def to_uid(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            uids = pa.array([doc_uid(u) for u in t["url"].to_pylist()], pa.int64())
+            return pa.table({f"tuid_{side}": uids, f"tcid_{side}": t["cluster_id"]})
+
+        return f
+
+    n = n_docs if n_docs is not None else truth_ds.count()
+    n_candidates = pairs_ds.count()
+
+    # |T|: Σ m·(m−1)/2 over truth cluster sizes (one groupby + tiny map)
+    sizes = truth_ds.groupby("cluster_id").count()
+    from ray.data.aggregate import Sum
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = t["count()"]
+        p = pc.divide(pc.multiply(m, pc.subtract(m, 1)), 2)
+        return pa.table({"n_true": pc.cast(p, pa.int64())})
+
+    agg = sizes.map_batches(to_pairs, batch_format="pyarrow").aggregate(Sum("n_true"))
+    n_true = int(agg["sum(n_true)"] or 0)
+
+    # |C ∩ T|: candidates whose endpoints share a truth cluster
+    ta = truth_ds.map_batches(to_uid("a"), batch_format="pyarrow")
+    tb = truth_ds.map_batches(to_uid("b"), batch_format="pyarrow")
+    j = bucketed_join(pairs_ds, ta, "uid_a", "tuid_a", n_buckets=num_partitions)
+    j = bucketed_join(j, tb, "uid_b", "tuid_b", n_buckets=num_partitions)
+
+    def hits(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        eq = pc.equal(t["tcid_a"], t["tcid_b"])
+        return pa.table({"hit": [int(pc.sum(eq).as_py() or 0)]})
+
+    got = j.map_batches(hits, batch_format="pyarrow").aggregate(Sum("hit"))
+    n_hit = int(got["sum(hit)"] or 0)
+
+    all_pairs = n * (n - 1) // 2
+    return {
+        "n_docs": int(n),
+        "n_candidates": int(n_candidates),
+        "n_true_pairs": n_true,
+        "true_in_candidates": n_hit,
+        "reduction_ratio": 1.0 - (n_candidates / all_pairs) if all_pairs else 1.0,
+        "pair_completeness": (n_hit / n_true) if n_true else 1.0,
+        "pair_quality": (n_hit / n_candidates) if n_candidates else 1.0,
+    }

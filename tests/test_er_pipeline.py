@@ -118,3 +118,22 @@ def test_contested_dedup_branch_preserves_schema(ray_session):
     assert got.num_rows == 5  # "a" deduped to its latest crawl
     latest_a = got.filter(pa.compute.equal(got["url"], "a"))
     assert latest_a["text"].to_pylist() == ["t1"]
+
+
+def test_blocking_metrics(er_result):
+    """Blocking quality on the planted corpus: completeness must be 1.0
+    (downstream F1=1.0 requires it), candidates must prune most of the
+    all-pairs space, and the counter identities must hold."""
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er import blocking_metrics
+
+    out, corpus_dir = er_result
+    truth = rd.read_parquet(f"{corpus_dir}/truth.parquet")
+    m = blocking_metrics(out["pairs"], truth)
+    assert m["pair_completeness"] == 1.0
+    assert m["n_true_pairs"] > 0
+    assert m["true_in_candidates"] == m["n_true_pairs"]
+    assert 0 < m["n_candidates"] < m["n_docs"] * (m["n_docs"] - 1) // 2
+    assert m["reduction_ratio"] > 0.5
+    assert 0.0 < m["pair_quality"] <= 1.0
