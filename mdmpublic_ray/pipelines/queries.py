@@ -2149,6 +2149,47 @@ def q_docs_stratified_sample(sf_dir: str, k: int = _SAMPLE_K):
     return bucketed_map_groups(part, "lang", final)
 
 
+_WSAMPLE_SALT = "wsample1"
+# floor(0.2 * 2^40): accept probability is 0.2 at the maximum weight,
+# scaled linearly below it. Kept as an integer so the accept test is
+# exact in both engines (no libm, no float rounding divergence).
+_WSAMPLE_RATE_NUM = 219_902_325_555
+
+
+def q_docs_weighted_sample(sf_dir: str):
+    """Weighted Bernoulli (Poisson) sampling: include each doc with
+    probability ``0.2 * n_chars / max(n_chars)`` — the coordination-free
+    distributed weighted sampler (each row decides independently from a
+    salted md5; the only global input is ONE max aggregate broadcast as
+    a scalar — no shuffle, no RNG state to ship, stable across engines
+    and cluster sizes). Accept test is integer-exact:
+    ``u * max_w < C * w`` with u ∈ [0, 2^40)."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    max_n = int(ds.max("n_chars"))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["doc_id"].map(
+            lambda i: int(
+                hashlib.md5(f"{_WSAMPLE_SALT}{i}".encode()).hexdigest()[:10], 16
+            )
+        ).to_numpy(np.int64)
+        keep = u * max_n < _WSAMPLE_RATE_NUM * df["n_chars"].to_numpy(np.int64)
+        return df.loc[keep, ["doc_id", "n_chars"]]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+SQL_DOCS_WEIGHTED_SAMPLE = f"""
+WITH mx AS (SELECT MAX(n_chars) AS m FROM documents)
+SELECT doc_id, n_chars FROM documents, mx
+WHERE ('0x' || substr(md5('{_WSAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT
+        * m
+      < {_WSAMPLE_RATE_NUM} * n_chars
+"""
+
+
 SQL_DOCS_STRATIFIED_SAMPLE = f"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
@@ -2248,6 +2289,86 @@ SQL_DOCS_TOP_TOKENS = f"""
 SELECT tok AS token, COUNT(*) AS n
 FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
 GROUP BY tok ORDER BY n DESC, tok LIMIT {_TOP_TOKENS_K}
+"""
+
+
+_RARE_TERMS_K = 3
+
+
+def q_docs_rare_terms(sf_dir: str):
+    """Per-document distinctive terms (tf-idf family): the k terms with
+    the highest term-frequency / document-frequency ratio, ties broken
+    lexicographically. tf/df is chosen over tf·ln(N/df) because the
+    ranking is then an INTEGER rational — cross-multiplication ordering
+    is exact in both engines, where libm ln() parity is not guaranteed
+    (float division itself is IEEE-correctly-rounded, so the emitted
+    score column is bit-identical too).
+
+    Two-pass corpus statistic, the standard distributed shape:
+    (1) per-batch (doc, term, tf) partials → one vocab-sized groupby for
+    df; (2) df table broadcast once via ray.put, per-batch vectorized
+    join + per-doc top-k. The corpus is never shuffled; the only
+    all-to-all is over |vocab| rows. Broadcast assumes the df table fits
+    a worker's heap (true for natural-language vocabularies; cap with a
+    min-df filter if not)."""
+    import ray as _ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_batch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+")
+        ex = pd.DataFrame({"doc_id": df["doc_id"], "term": toks}).explode("term")
+        ex = ex.dropna(subset=["term"])
+        g = ex.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        g["tf"] = g["tf"].astype("int64")
+        return g
+
+    tfds = ds.map_batches(tf_batch, batch_format="pandas")
+
+    from ray.data.aggregate import Sum
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["term"].value_counts()  # (doc,term) rows are distinct
+        return pd.DataFrame({"term": vc.index, "df": vc.to_numpy().astype("int64")})
+
+    df_tbl = (
+        tfds.map_batches(df_partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = _ray.put(df_tbl.set_index("term")["df"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dfm = _ray.get(df_ref)
+        dfv = df["term"].map(dfm).astype("int64")
+        out = df.assign(df=dfv, score=df["tf"].to_numpy() / dfv.to_numpy())
+        out = out.sort_values(["doc_id", "score", "term"],
+                              ascending=[True, False, True], kind="mergesort")
+        out = out.groupby("doc_id", sort=False).head(_RARE_TERMS_K)
+        return out[["doc_id", "term", "tf", "df", "score"]]
+
+    return tfds.map_batches(score, batch_format="pandas")
+
+
+SQL_DOCS_RARE_TERMS = f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term
+), r AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                     tf.term ASC) AS rn
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, score FROM r WHERE rn <= {_RARE_TERMS_K}
 """
 
 def q_docs_top_tokens_mg(sf_dir: str):
@@ -2547,9 +2668,11 @@ QUERIES = {
     "web_boilerplate": q_web_boilerplate,
     "docs_split_assign": q_docs_split_assign,
     "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_weighted_sample": q_docs_weighted_sample,
     "docs_mixture_sample": q_docs_mixture_sample,
     "docs_top_tokens": q_docs_top_tokens,
     "docs_top_tokens_mg": q_docs_top_tokens_mg,
+    "docs_rare_terms": q_docs_rare_terms,
     "docs_len_quantiles": q_docs_len_quantiles,
     "docs_len_quantiles_by_lang": q_docs_len_quantiles_by_lang,
     "docs_decontaminate": q_docs_decontaminate,
@@ -2621,8 +2744,10 @@ ORACLE_SQL = {
     "web_boilerplate": _sql_web_boilerplate(),
     "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
+    "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
     "docs_mixture_sample": _sql_docs_mixture_sample(),
     "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
+    "docs_rare_terms": SQL_DOCS_RARE_TERMS,
     "docs_len_quantiles": SQL_DOCS_LEN_QUANTILES,
     "docs_len_quantiles_by_lang": SQL_DOCS_LEN_QUANTILES_BY_LANG,
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
