@@ -324,6 +324,140 @@ FROM events GROUP BY 1, 2
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_daily_type_pivot(sf_dir: str):
+    """Long→wide reshape: one row per day, one count column per event
+    type (the report-table shape of the reference's per-host status
+    matrices). Map-side: each batch pivots locally to the fixed column
+    set (crosstab partials), then ONE small groupby sums per day —
+    reshaping adds no second shuffle."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.strftime("%Y-%m-%d")
+        out = pd.DataFrame({"day": day})
+        for t in _EVENT_TYPES:
+            out[f"n_{t}"] = (df["event_type"] == t).astype("int64")
+        return out.groupby("day", sort=False, as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES]
+    return ds.map_batches(partial, batch_format="pandas").groupby("day").aggregate(*aggs)
+
+
+SQL_DAILY_TYPE_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+
+def q_monthly_rollup(sf_dir: str):
+    """Multi-level aggregate (ROLLUP): per-month counts, plus a yearly
+    subtotal row per year (month NULL→'ALL'), plus one grand-total row —
+    three grains from ONE pre-aggregated pass: the month-level partial is
+    tiny, so the two coarser grains fold from it driver-free via unions
+    of small groupbys."""
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "year": df["ts"].dt.strftime("%Y"),
+                "month": df["ts"].dt.strftime("%m"),
+                "n": np.ones(len(df), dtype="int64"),
+            }
+        )
+
+    monthly = partial_sum_groupby(
+        ds.map_batches(prep, batch_format="pandas"), ["year", "month"], {"n": "n"}, None
+    )
+
+    from ray.data.aggregate import Sum
+
+    yearly = (
+        monthly.groupby("year")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.append_column("month", pa.array(["ALL"] * t.num_rows)),
+            batch_format="pyarrow",
+        )
+        .select_columns(["year", "month", "n"])
+    )
+    import ray.data as rd
+
+    # grand total: one scalar on the driver (count of the pruned read)
+    total = rd.from_arrow(
+        pa.table(
+            {
+                "year": pa.array(["ALL"]),
+                "month": pa.array(["ALL"]),
+                "n": pa.array([ds.count()], pa.int64()),
+            }
+        )
+    )
+    ordered = monthly.select_columns(["year", "month", "n"])
+    return ordered.union(yearly).union(total)
+
+
+SQL_MONTHLY_ROLLUP = """
+SELECT COALESCE(strftime(ts, '%Y'), 'ALL') AS year,
+       CASE WHEN GROUPING(strftime(ts, '%m')) = 1 THEN 'ALL'
+            ELSE strftime(ts, '%m') END AS month,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY ROLLUP (strftime(ts, '%Y'), strftime(ts, '%m'))
+"""
+
+
+def q_user_rolling_sum(sf_dir: str):
+    """Per-key ROW-window aggregate: for every event, the sum of the
+    current + two previous purchase values of the same user (A4 lag
+    family, widened to a sliding row frame). Cents-exact so the window
+    sum is engine-independent; one bucketed shuffle on user_id, then a
+    vectorized pandas rolling per bucket."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        c = (df["value"] * 100).round().astype("int64")
+        s = (
+            c.groupby(df["user_id"], sort=False)
+            .rolling(window=3, min_periods=1)
+            .sum()
+            .reset_index(level=0, drop=True)
+            .reindex(df.index)  # back to df's (sorted) row order
+        )
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "roll3_value": s.astype("int64").to_numpy() / 100.0,
+            }
+        )
+
+    from ..stages.util import bucketed_map_groups
+
+    return bucketed_map_groups(ds, "user_id", roll)
+
+
+SQL_USER_ROLLING_SUM = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(round(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+         AS roll3_value
+FROM events
+"""
+
+
 def q_distinct_event_types(sf_dir: str):
     """Distinct values (D1; sorted-set union tcp_port_scan.py:120-121)."""
     ds = read_table(sf_dir, "events", columns=["event_type"])
@@ -2625,6 +2759,9 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "event_type_stats": q_event_type_stats,
     "daily_type_counts": q_daily_type_counts,
+    "daily_type_pivot": q_daily_type_pivot,
+    "monthly_rollup": q_monthly_rollup,
+    "user_rolling_sum": q_user_rolling_sum,
     "distinct_event_types": q_distinct_event_types,
     "hourly_type_windows": q_hourly_type_windows,
     "sliding_type_windows": q_sliding_type_windows,
@@ -2701,6 +2838,9 @@ ORACLE_SQL = {
     "latest_event_per_user": SQL_LATEST_EVENT,
     "event_type_stats": SQL_EVENT_TYPE_STATS,
     "daily_type_counts": SQL_DAILY_TYPE,
+    "daily_type_pivot": SQL_DAILY_TYPE_PIVOT,
+    "monthly_rollup": SQL_MONTHLY_ROLLUP,
+    "user_rolling_sum": SQL_USER_ROLLING_SUM,
     "distinct_event_types": SQL_DISTINCT_TYPES,
     "hourly_type_windows": SQL_HOURLY_WINDOWS,
     "sliding_type_windows": SQL_SLIDING_WINDOWS,
