@@ -140,6 +140,8 @@ def bucketed_join(
     *,
     how: str = "inner",
     n_buckets: int = DEFAULT_BUCKETS,
+    hot_keys=None,
+    hot_salt: int = 8,
 ):
     """Partitioned hash join built from union + bucketed groupby — the
     engine's standard join.
@@ -159,8 +161,24 @@ def bucketed_join(
     must be string or integer; output columns = left's then right's
     (minus ``right_on``). For "outer" the join key survives as the left
     key column even for right-only rows.
+
+    ``hot_keys``: optional set of join-key values (any type; compared as
+    strings) whose rows would overwhelm a single bucket — the skewed-key
+    treatment of the blocking stage (``blocking.py`` hot-host salting)
+    generalized to joins. Each hot LEFT row lands in one of ``hot_salt``
+    sub-buckets; each hot RIGHT row is REPLICATED into all of them, so
+    every sub-bucket can join locally. The joined row SET is unchanged —
+    only the partitioning spreads. Inner/left joins only ("outer" would
+    emit an unmatched hot right row once per replica).
     """
     import pyarrow as _pa
+
+    hotset = {str(k) for k in hot_keys} if hot_keys else None
+    if hotset and how == "outer":
+        raise ValueError("hot_keys salting supports how='inner'/'left' only")
+    if hotset and hot_salt < 2:
+        raise ValueError("hot_salt must be >= 2")
+    _GOLD = np.uint32(2654435761)  # Knuth multiplicative spread for sub-buckets
 
     lschema = left.schema()  # ray.data Schema wrapper: .names + .types
     rschema = right.schema()
@@ -192,7 +210,42 @@ def bucketed_join(
                 np.zeros(n, dtype=np.int8) if side_is_left else np.ones(n, dtype=np.int8)
             )
             t = _pa.table(cols)
-            b = crc32_array(t["_jk"].to_pylist()) % np.uint32(n_buckets)
+            jk_list = t["_jk"].to_pylist()
+            base = crc32_array(jk_list)
+            if hotset:
+                hot = np.fromiter((k in hotset for k in jk_list), dtype=bool, count=n)
+                if side_is_left:
+                    # spread hot left rows round-robin over sub-buckets
+                    # (any assignment is correct: every sub-bucket holds
+                    # all hot right rows)
+                    sub = (np.arange(n, dtype=np.uint32) % np.uint32(hot_salt))
+                    b = np.where(hot, (base + sub * _GOLD), base) % np.uint32(n_buckets)
+                    return t.append_column("_bucket", _pa.array(b.astype(np.int32)))
+                # replicate hot right rows into every sub-bucket
+                cold_idx = np.nonzero(~hot)[0]
+                hot_idx = np.nonzero(hot)[0]
+                b_cold = (base[cold_idx] % np.uint32(n_buckets)).astype(np.int32)
+                parts = [
+                    t.take(_pa.array(cold_idx)).append_column(
+                        "_bucket", _pa.array(b_cold)
+                    )
+                ]
+                if len(hot_idx):
+                    rep = np.repeat(hot_idx, hot_salt)
+                    sub = np.tile(
+                        np.arange(hot_salt, dtype=np.uint32), len(hot_idx)
+                    )
+                    b_hot = (
+                        (np.repeat(base[hot_idx], hot_salt) + sub * _GOLD)
+                        % np.uint32(n_buckets)
+                    ).astype(np.int32)
+                    parts.append(
+                        t.take(_pa.array(rep)).append_column(
+                            "_bucket", _pa.array(b_hot)
+                        )
+                    )
+                return _pa.concat_tables(parts)
+            b = base % np.uint32(n_buckets)
             return t.append_column("_bucket", _pa.array(b.astype(np.int32)))
 
         return f

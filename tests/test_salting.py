@@ -107,3 +107,49 @@ def test_salted_host_emits_pairs_capped_host_does_not(ray_session, skew_corpus):
     # unsalted: big-portal block exceeds the cap → only LSH pairs remain;
     # salted sub-blocks add bounded same-host candidates on top
     assert n_salted > n_unsalted
+
+
+def test_bucketed_join_hot_key_salting_same_result(ray_session):
+    """Generic join salting: on a 90%-one-key skew, the salted join must
+    emit EXACTLY the unsalted join's rows (inner and left), while
+    spreading the hot key over multiple buckets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.stages.util import bucketed_join
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    keys = np.where(rng.random(n) < 0.9, 42, rng.integers(0, 50, n)).astype("int64")
+    left = rd.from_arrow(pa.table({"k": keys, "lv": np.arange(n, dtype="int64")}))
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "rk": np.array([42, 42, 7, 8, 9], dtype="int64"),
+                "rv": np.array([1, 2, 3, 4, 5], dtype="int64"),
+            }
+        )
+    )
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["k", "lv", "rv"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    for how in ("inner", "left"):
+        plain = norm(bucketed_join(left, right, "k", "rk", how=how, n_buckets=16))
+        salted = norm(
+            bucketed_join(
+                left, right, "k", "rk", how=how, n_buckets=16,
+                hot_keys={42}, hot_salt=4,
+            )
+        )
+        assert plain.equals(salted), how
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bucketed_join(left, right, "k", "rk", how="outer", hot_keys={42})
