@@ -1448,6 +1448,76 @@ def q_embedding_dims(sf_dir: str):
 SQL_EMBEDDING_DIMS = "SELECT vec_id, len(embedding) AS dim FROM embeddings"
 
 
+def q_embedding_label_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column (the aggregate behind
+    IVF coarse-quantizer evaluation and class prototypes), long format
+    (label, dim, centroid, n). Per-batch numpy partial sums collapse each
+    batch to ≤ |labels|·d rows before the groupby, so the shuffle never
+    moves vectors. Sums are fixed-point 1e-6 int64 (float32 components
+    « 2^9 can't hit exact .5 after the double upcast, so round() parity
+    with the oracle is exact); the two final divisions are IEEE-exact in
+    both engines."""
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        arr = t["embedding"].combine_chunks()
+        n = len(arr)
+        flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = np.asarray(arr.offsets)
+        widths = np.diff(offs)
+        d = int(widths[0]) if n else 0
+        assert n == 0 or (widths == d).all(), "ragged embeddings"
+        scaled = np.round(flat * 1e6).astype(np.int64).reshape(n, d)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(scaled)
+        df["label"] = labels
+        g = df.groupby("label", sort=False)
+        sums = g.sum()
+        cnts = g.size()
+        k = len(sums)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(sums.index.to_numpy(), d),
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), k),
+                "s_c": sums.to_numpy().reshape(-1),
+                "n": np.repeat(cnts.to_numpy().astype(np.int64), d),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s_c", alias_name="s_c"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = pc.divide(
+            pc.divide(pc.cast(t["s_c"], pa.float64()), 1_000_000.0),
+            pc.cast(t["n"], pa.float64()),
+        )
+        return pa.table(
+            {"label": t["label"], "dim": t["dim"], "centroid": c, "n": t["n"]}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_LABEL_CENTROIDS = """
+WITH e AS (
+  SELECT label, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, dim,
+       CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000 / COUNT(*) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY label, dim
+"""
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible pipelines (rows-only checks; pytest covers semantics)
 # --------------------------------------------------------------------------
@@ -2788,6 +2858,7 @@ QUERIES = {
     "similar_doc_pairs": q_similar_doc_pairs,
     "knn_cosine": q_knn_cosine,
     "embedding_dims": q_embedding_dims,
+    "embedding_label_centroids": q_embedding_label_centroids,
     "embeddings_neardup": q_embeddings_neardup,
     "embeddings_clusters": q_embeddings_clusters,
     "log_auth_events": q_log_auth_events,
@@ -2867,6 +2938,7 @@ ORACLE_SQL = {
     "similar_doc_pairs": SQL_SIMILAR_DOC_PAIRS,
     "knn_cosine": SQL_KNN,
     "embedding_dims": SQL_EMBEDDING_DIMS,
+    "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
     "embeddings_neardup": SQL_EMBEDDINGS_NEARDUP,
     "embeddings_clusters": SQL_EMBEDDINGS_CLUSTERS,
     "log_auth_events": _sql_log_auth_events(),
