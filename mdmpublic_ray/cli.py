@@ -123,11 +123,16 @@ def cmd_incremental(args) -> dict:
     _init_ray(args.num_cpus)
     cfg = _cfg_from_args(args)
     t0 = time.monotonic()
+    deleted = None
+    if getattr(args, "deleted", None):
+        with open(args.deleted) as f:
+            deleted = [ln.strip() for ln in f if ln.strip()]
     out = run_er_incremental(
         rd.read_parquet(args.input),
         cfg,
         state_dir=args.state,
         prev_run_id=args.prev_run_id,
+        deleted_urls=deleted,
     )
     write_state(out, args.state, args.run_id, cfg)
     counts = _write_outputs(out, args.out or _default_out(args.state, args.run_id))
@@ -203,6 +208,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--input", required=True)
     sp.add_argument("--prev-run-id", dest="prev_run_id", required=True)
     sp.add_argument("--run-id", dest="run_id", required=True)
+    sp.add_argument(
+        "--deleted",
+        default=None,
+        help="text file of urls to tombstone (one per line); deletions "
+        "may accompany a delta or run alone against an empty delta",
+    )
     common(sp)
     er_params(sp)
     sp.set_defaults(fn=cmd_incremental)

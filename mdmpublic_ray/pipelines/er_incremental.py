@@ -326,12 +326,24 @@ def run_er_incremental(
     state_dir: str,
     prev_run_id: str,
     delta_cap: int = DELTA_CAP,
+    deleted_urls=None,
 ) -> dict:
     """Resolve ``delta_pages_ds`` against the previous run's checkpointed
     state; returns the COMBINED state (same keys as ``run_er``: deduped,
     features, blocks, scored, clusters, golden) plus incremental
     diagnostics under ``"incremental"``. Pass the result to
-    :func:`write_state` to persist it for the next delta."""
+    :func:`write_state` to persist it for the next delta.
+
+    ``deleted_urls``: urls to REMOVE from the corpus (tombstones — the
+    right-to-erasure / dead-page half of run-over-run MDM). Semantics:
+    the result equals ``run_er`` over (previous corpus − deleted) +
+    delta. A deleted url's features, block rows and match edges are
+    purged; clusters it belonged to are re-closed from their surviving
+    edges (removing a bridge member can SPLIT a cluster) and their
+    golden records recomputed. A url both deleted and re-delivered in
+    the delta is re-added with the delta's content regardless of crawl
+    timestamp (the incumbent no longer counts). Unknown urls are
+    ignored. Deletion-only calls (empty delta) are supported."""
     import ray
     import ray.data as rd
 
@@ -371,29 +383,63 @@ def run_er_incremental(
             if r["n_pages"] >= 0
         }
 
+    # ---- 0. tombstones: which requested deletions actually exist --------
+    req_del = sorted(set(deleted_urls or []))
+    if len(req_del) > delta_cap:
+        raise ValueError(
+            f"{len(req_del)} deletions > delta_cap={delta_cap}; "
+            "run the full pipeline over the purged corpus instead"
+        )
+    del_present: set = set()
+    if req_del:
+        dref = ray.put(pa.array(req_del, pa.string()))
+        del_present = set(
+            _to_pandas(
+                _isin_scan(prev_deduped.select_columns(["url"]), "url", dref),
+                ["url"],
+                cap=delta_cap,
+                what="deleted urls",
+            )["url"]
+        )
+
     # ---- 1. delta extract + dedup-latest (the standard entry stages) ----
-    cols = delta_pages_ds.schema().names
-    slim = (
-        delta_pages_ds.select_columns([c for c in cols if c != "text"])
-        if "text" in cols
-        else delta_pages_ds
-    )
-    try:
-        nb = slim.num_blocks()
-    except Exception:
-        nb = None
-    if nb is not None and nb < cfg.num_partitions:
-        slim = slim.repartition(cfg.num_partitions)
-    delta_deduped = dedup_latest(
-        extract_stage(
-            slim,
-            batch_size=cfg.extract_batch_size,
-            concurrency=cfg.extract_concurrency,
-        ),
-        "url",
-        "warc_ts",
-        n_buckets=cfg.n_buckets,
-    ).materialize()
+    delta_schema = delta_pages_ds.schema()
+    if delta_schema is None:
+        # a zero-row Dataset loses its schema in Ray; deletion-only calls
+        # legitimately pass one — treat as an empty delta
+        delta_deduped = rd.from_arrow(
+            pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("warc_ts", pa.timestamp("us")),
+                    ("text", pa.string()),
+                    ("lang", pa.string()),
+                ]
+            ).empty_table()
+        )
+    else:
+        cols = delta_schema.names
+        slim = (
+            delta_pages_ds.select_columns([c for c in cols if c != "text"])
+            if "text" in cols
+            else delta_pages_ds
+        )
+        try:
+            nb = slim.num_blocks()
+        except Exception:
+            nb = None
+        if nb is not None and nb < cfg.num_partitions:
+            slim = slim.repartition(cfg.num_partitions)
+        delta_deduped = dedup_latest(
+            extract_stage(
+                slim,
+                batch_size=cfg.extract_batch_size,
+                concurrency=cfg.extract_concurrency,
+            ),
+            "url",
+            "warc_ts",
+            n_buckets=cfg.n_buckets,
+        ).materialize()
 
     n_delta = delta_deduped.count()
     if n_delta > delta_cap:
@@ -431,6 +477,7 @@ def run_er_incremental(
                 "n_delta": n_delta,
                 "n_effective": n_eff,
                 "n_invalidated": 0,
+                "n_deleted": 0,
                 "n_new_pairs": 0,
                 "n_new_edges": 0,
                 "n_affected_clusters": 0,
@@ -441,11 +488,13 @@ def run_er_incremental(
             out["hot_hosts"] = prev.read_stage("hot_hosts")
         return out
 
-    if n_delta == 0:
+    if n_delta == 0 and not del_present:
         return passthrough()
 
     # ---- 2. winner resolution: effective delta + invalidated incumbents -
-    ddf = delta_deduped.select_columns(["url", "warc_ts"]).to_pandas()
+    ddf = _to_pandas(
+        delta_deduped.select_columns(["url", "warc_ts"]), ["url", "warc_ts"]
+    )
     delta_url_ref = ray.put(pa.array(ddf["url"], pa.string()))
     incumbent = _to_pandas(
         _isin_scan(
@@ -456,50 +505,70 @@ def run_er_incremental(
     prev_ts = dict(zip(incumbent["url"], incumbent["warc_ts"]))
     eff_mask = np.array(
         [
-            (u not in prev_ts) or (ts > prev_ts[u])
+            # a deleted incumbent no longer counts: a re-delivered crawl
+            # of a deleted url re-adds it regardless of timestamp
+            (u not in prev_ts) or (ts > prev_ts[u]) or (u in del_present)
             for u, ts in zip(ddf["url"], ddf["warc_ts"])
-        ]
+        ],
+        dtype=bool,
     )
-    if not eff_mask.any():
+    has_delta = bool(eff_mask.any())
+    if not has_delta and not del_present:
         return passthrough()
-    eff_urls = ddf["url"].to_numpy()[eff_mask]
+    eff_urls = ddf["url"].to_numpy()[eff_mask] if len(ddf) else np.array([], dtype=object)
     eff_set = set(eff_urls)
-    invalidated = sorted(u for u in eff_urls if u in prev_ts)
+    invalidated = sorted(
+        {u for u in eff_urls if u in prev_ts} | del_present
+    )
     inval_set = set(invalidated)
-    eff_ref = ray.put(pa.array(np.sort(eff_urls), pa.string()))
-    delta_eff = _isin_scan(delta_deduped, "url", eff_ref).materialize()
-
-    # ---- 3. delta features + block keys (prev hot-host table reused) ----
-    delta_features = features_stage(
-        delta_eff, concurrency=cfg.features_concurrency, seed=cfg.seed
-    ).materialize()
-    delta_blocks = block_keys_stage(
-        delta_features, hot_hosts=hot_hosts, max_block_size=cfg.max_block_size
-    ).materialize()
-
-    # ---- 4. touched blocks → delta-involving candidate pairs ------------
-    delta_keys = _distinct_int64(delta_blocks, "block_key")
-    # FP-tolerant: a false-positive "touched" block has no delta member,
-    # so delta-only pair generation emits nothing from it
-    key_ref = _share_values(delta_keys, approx_ok=True)
-    touched_prev = _isin_scan(prev_blocks, "block_key", key_ref)
     inval_uids = np.sort(
         np.array([doc_uid(u) for u in invalidated], dtype=np.int64)
     )
-    if inval_uids.size:
-        # an updated doc re-enters via its NEW keys; its stale block rows
-        # (old content's keys) must not pair it with anything
-        inval_uid_ref = ray.put(pa.array(inval_uids, pa.int64()))
-        touched_prev = _isin_scan(touched_prev, "uid", inval_uid_ref, keep=False)
-    blocks_flagged = delta_blocks.map_batches(
-        _flag(True), batch_format="pyarrow"
-    ).union(touched_prev.map_batches(_flag(False), batch_format="pyarrow"))
-    pairs = candidate_pairs_delta(
-        blocks_flagged,
-        max_block_size=cfg.max_block_size,
-        n_buckets=cfg.n_buckets,
-    ).materialize()
-    n_pairs = pairs.count()
+
+    if has_delta:
+        eff_ref = ray.put(pa.array(np.sort(eff_urls), pa.string()))
+        delta_eff = _isin_scan(delta_deduped, "url", eff_ref).materialize()
+
+        # ---- 3. delta features + block keys (prev hot-host table reused) -
+        delta_features = features_stage(
+            delta_eff, concurrency=cfg.features_concurrency, seed=cfg.seed
+        ).materialize()
+        delta_blocks = block_keys_stage(
+            delta_features, hot_hosts=hot_hosts, max_block_size=cfg.max_block_size
+        ).materialize()
+
+        # ---- 4. touched blocks → delta-involving candidate pairs ---------
+        delta_keys = _distinct_int64(delta_blocks, "block_key")
+        # FP-tolerant: a false-positive "touched" block has no delta
+        # member, so delta-only pair generation emits nothing from it
+        key_ref = _share_values(delta_keys, approx_ok=True)
+        touched_prev = _isin_scan(prev_blocks, "block_key", key_ref)
+        if inval_uids.size:
+            # an updated doc re-enters via its NEW keys; its stale block
+            # rows (old content's keys, and every deleted doc's rows)
+            # must not pair it with anything
+            inval_uid_ref = ray.put(pa.array(inval_uids, pa.int64()))
+            touched_prev = _isin_scan(
+                touched_prev, "uid", inval_uid_ref, keep=False
+            )
+        blocks_flagged = delta_blocks.map_batches(
+            _flag(True), batch_format="pyarrow"
+        ).union(touched_prev.map_batches(_flag(False), batch_format="pyarrow"))
+        pairs = candidate_pairs_delta(
+            blocks_flagged,
+            max_block_size=cfg.max_block_size,
+            n_buckets=cfg.n_buckets,
+        ).materialize()
+        n_pairs = pairs.count()
+    else:
+        # deletion-only increment: nothing new to extract, block or score
+        delta_eff = None
+        delta_features = None
+        delta_blocks = None
+        pairs = rd.from_arrow(
+            pa.schema([("uid_a", pa.int64()), ("uid_b", pa.int64())]).empty_table()
+        )
+        n_pairs = 0
 
     # ---- 5. score new pairs against delta ∪ (needed old) features -------
     if n_pairs:
@@ -588,13 +657,15 @@ def run_er_incremental(
             cap=delta_cap * 4,
             what="surviving edges of affected clusters",
         )
-        # edges touching an invalidated url are stale (the updated content
-        # is re-scored via the delta path)
+        # edges touching an invalidated url are stale (updated content is
+        # re-scored via the delta path; deleted content is gone for good)
         keep = ~prev_edges["url_a"].isin(inval_set) & ~prev_edges["url_b"].isin(
             inval_set
         )
         prev_edges = prev_edges[keep]
-    aff_urls = set(aff_members["url"])
+    # deleted members leave their clusters entirely (unless re-added via
+    # the delta, in which case they are in eff_set)
+    aff_urls = set(aff_members["url"]) - del_present
 
     # ---- 7. contracted graph + connected components ----------------------
     endpoints = set(new_edges["url_a"]) | set(new_edges["url_b"])
@@ -623,20 +694,24 @@ def run_er_incremental(
             "incremental active graph exceeds delta_cap bounds; "
             "run the full pipeline instead"
         )
-    cc = connected_components(
-        rd.from_arrow(
-            pa.table(
-                {
-                    "url_a": pa.array(edges_all["url_a"], pa.string()),
-                    "url_b": pa.array(edges_all["url_b"], pa.string()),
-                }
-            )
-        ),
-        rd.from_arrow(pa.table({"url": pa.array(active_nodes, pa.string())})),
-        num_partitions=cfg.num_partitions,
-        max_rounds=cfg.max_cc_rounds,
-    ).to_pandas()
-    label = dict(zip(cc["url"], cc["cluster_id"]))
+    if active_nodes:
+        cc = connected_components(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "url_a": pa.array(edges_all["url_a"], pa.string()),
+                        "url_b": pa.array(edges_all["url_b"], pa.string()),
+                    }
+                )
+            ),
+            rd.from_arrow(pa.table({"url": pa.array(active_nodes, pa.string())})),
+            num_partitions=cfg.num_partitions,
+            max_rounds=cfg.max_cc_rounds,
+        ).to_pandas()
+        label = dict(zip(cc["url"], cc["cluster_id"]))
+    else:
+        # pure-singleton deletions: nothing left to re-close
+        label = {}
 
     # ---- 8. final clusters ----------------------------------------------
     # reps of unaffected clusters whose label moved → remap their members
@@ -673,54 +748,68 @@ def run_er_incremental(
     # ---- 9. golden records: recompute changed clusters only --------------
     changed_final = {label[u] for u in active_member_urls}
     removed_old = drop_cids | set(changed_rep) | changed_final
-    changed_ref = ray.put(pa.array(sorted(changed_final), pa.string()))
-    changed_members = _isin_scan(clusters, "cluster_id", changed_ref).materialize()
-    member_ref = ray.put(
-        pa.array(
-            np.sort(
-                _to_pandas(
-                    changed_members.select_columns(["url"]),
-                    ["url"],
-                    cap=delta_cap * 4,
-                    what="changed cluster members",
-                )["url"].to_numpy()
-            ),
-            pa.string(),
-        )
-    )
-    # combined deduped view of the changed members: previous rows (minus
-    # invalidated) + effective delta rows — both pure map scans
     inval_ref2 = ray.put(pa.array(sorted(inval_set), pa.string()))
     surviving_prev = _isin_scan(prev_deduped, "url", inval_ref2, keep=False)
-    changed_pages = _isin_scan(surviving_prev, "url", member_ref).union(
-        _isin_scan(delta_eff, "url", member_ref)
-    )
-    fresh_golden = golden_records(
-        changed_members,
-        changed_pages,
-        num_partitions=cfg.num_partitions,
-        n_buckets=cfg.n_buckets,
-    )
 
     def drop_removed(df: pd.DataFrame) -> pd.DataFrame:
         return df[~df["cluster_id"].isin(removed_old)]
 
-    golden = (
-        prev_golden.map_batches(drop_removed, batch_format="pandas")
-        .union(fresh_golden)
-        .materialize()
-    )
+    if changed_final:
+        changed_ref = ray.put(pa.array(sorted(changed_final), pa.string()))
+        changed_members = _isin_scan(
+            clusters, "cluster_id", changed_ref
+        ).materialize()
+        member_ref = ray.put(
+            pa.array(
+                np.sort(
+                    _to_pandas(
+                        changed_members.select_columns(["url"]),
+                        ["url"],
+                        cap=delta_cap * 4,
+                        what="changed cluster members",
+                    )["url"].to_numpy()
+                ),
+                pa.string(),
+            )
+        )
+        # combined deduped view of the changed members: previous rows
+        # (minus invalidated) + effective delta rows — both pure map scans
+        changed_pages = _isin_scan(surviving_prev, "url", member_ref)
+        if delta_eff is not None:
+            changed_pages = changed_pages.union(
+                _isin_scan(delta_eff, "url", member_ref)
+            )
+        fresh_golden = golden_records(
+            changed_members,
+            changed_pages,
+            num_partitions=cfg.num_partitions,
+            n_buckets=cfg.n_buckets,
+        )
+        golden = (
+            prev_golden.map_batches(drop_removed, batch_format="pandas")
+            .union(fresh_golden)
+            .materialize()
+        )
+    else:
+        # deletions removed whole clusters and touched nothing else
+        golden = prev_golden.map_batches(
+            drop_removed, batch_format="pandas"
+        ).materialize()
 
     # ---- 10. combined state for the next increment ------------------------
-    deduped = surviving_prev.union(delta_eff)
+    deduped = surviving_prev
     feats_prev = prev_features
     blocks_prev = prev_blocks
     if inval_uids.size:
         iu_ref = ray.put(pa.array(inval_uids, pa.int64()))
         feats_prev = _isin_scan(feats_prev, "uid", iu_ref, keep=False)
         blocks_prev = _isin_scan(blocks_prev, "uid", iu_ref, keep=False)
-    features = feats_prev.union(delta_features)
-    blocks = blocks_prev.union(delta_blocks)
+    features = feats_prev
+    blocks = blocks_prev
+    if delta_eff is not None:
+        deduped = deduped.union(delta_eff)
+        features = features.union(delta_features)
+        blocks = blocks.union(delta_blocks)
 
     def drop_inval_edges(t: pa.Table) -> pa.Table:
         import ray as _ray
@@ -743,12 +832,24 @@ def run_er_incremental(
         "scored": scored_all,
         "clusters": clusters,
         "golden": golden,
-        "delta_deduped": delta_eff,
+        "delta_deduped": delta_eff
+        if delta_eff is not None
+        else rd.from_arrow(
+            pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("warc_ts", pa.timestamp("us")),
+                    ("text", pa.string()),
+                    ("lang", pa.string()),
+                ]
+            ).empty_table()
+        ),
         "pairs": pairs,
         "incremental": {
             "n_delta": int(n_delta),
             "n_effective": int(len(eff_set)),
             "n_invalidated": int(len(inval_set)),
+            "n_deleted": int(len(del_present)),
             "n_new_pairs": int(n_pairs),
             "n_new_edges": int(len(new_edges)),
             "n_affected_clusters": int(len(aff_cids)),

@@ -420,3 +420,109 @@ def test_write_state_replaces_and_keeps_hot_hosts(ray_session, split_corpus, tmp
     write_state(inc, state, "latest", _cfg())
     rows = CheckpointRunner(state, "latest").read_stage("clusters").count()
     assert rows == len(_clusters_df(full))
+
+
+def _purge(tbl, urls):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = pc.is_in(tbl["url"], value_set=pa.array(sorted(urls), pa.string()))
+    return tbl.filter(pc.invert(m))
+
+
+def _pick_deletions(out):
+    """(a multi-member cluster's representative, another member, a
+    singleton url) from a resolved state."""
+    clusters = out["clusters"].to_pandas()
+    sizes = clusters.groupby("cluster_id").size().sort_values(ascending=False)
+    multi = sizes[sizes >= 3].index[0]
+    members = sorted(clusters[clusters["cluster_id"] == multi]["url"])
+    singleton = sizes[sizes == 1].index[0]  # cluster_id == url for singletons
+    return members[0], members[1], singleton
+
+
+def test_incremental_deletion_only(ray_session, split_corpus, tmp_path):
+    """Tombstones with an empty delta: deleting a cluster REPRESENTATIVE
+    (min-url member) and a singleton must equal the full run over the
+    purged corpus — the surviving members re-close and re-label."""
+    import ray.data as rd
+
+    pages, base, delta = split_corpus
+    state = str(tmp_path / "state")
+    out = run_er(rd.from_arrow(base), _cfg(state, "base"))
+    rep, _other, singleton = _pick_deletions(out)
+    deleted = {rep, singleton}
+
+    inc = run_er_incremental(
+        rd.from_arrow(base.schema.empty_table()),
+        _cfg(),
+        state_dir=state,
+        prev_run_id="base",
+        deleted_urls=sorted(deleted) + ["http://nonexistent.example/x"],
+    )
+    assert inc["incremental"]["n_deleted"] == 2
+    assert inc["incremental"]["n_effective"] == 0
+
+    full = run_er(rd.from_arrow(_purge(base, deleted)), _cfg())
+    pd.testing.assert_frame_equal(_clusters_df(inc), _clusters_df(full))
+    pd.testing.assert_frame_equal(_golden_df(inc), _golden_df(full))
+    # deleted urls are gone from every state surface
+    dd = inc["deduped"].to_pandas()
+    assert not set(dd["url"]) & deleted
+
+
+def test_incremental_delete_and_add(ray_session, split_corpus, tmp_path):
+    """Deletions alongside a normal delta: result equals the full run
+    over (base − deleted) + delta."""
+    import ray.data as rd
+
+    pages, base, delta = split_corpus
+    state = str(tmp_path / "state")
+    out = run_er(rd.from_arrow(base), _cfg(state, "base"))
+    _rep, other, singleton = _pick_deletions(out)
+    deleted = {other, singleton}
+
+    inc = run_er_incremental(
+        rd.from_arrow(delta),
+        _cfg(),
+        state_dir=state,
+        prev_run_id="base",
+        deleted_urls=sorted(deleted),
+    )
+    assert inc["incremental"]["n_deleted"] == 2
+
+    import pyarrow as pa
+
+    combined = pa.concat_tables([_purge(base, deleted), delta])
+    full = run_er(rd.from_arrow(combined), _cfg())
+    pd.testing.assert_frame_equal(_clusters_df(inc), _clusters_df(full))
+    pd.testing.assert_frame_equal(_golden_df(inc), _golden_df(full))
+
+
+def test_incremental_readd_after_delete(ray_session, split_corpus, tmp_path):
+    """A url that is deleted AND re-delivered in the same increment is
+    re-added with the delta content regardless of crawl timestamp."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    pages, base, delta = split_corpus
+    state = str(tmp_path / "state")
+    out = run_er(rd.from_arrow(base), _cfg(state, "base"))
+    rep, _other, singleton = _pick_deletions(out)
+    deleted = {rep, singleton}
+
+    readd_rows = base.filter(pc.equal(base["url"], rep))  # same ts as incumbent
+    inc = run_er_incremental(
+        rd.from_arrow(readd_rows),
+        _cfg(),
+        state_dir=state,
+        prev_run_id="base",
+        deleted_urls=sorted(deleted),
+    )
+    d = inc["incremental"]
+    assert d["n_deleted"] == 2 and d["n_effective"] == 1
+
+    full = run_er(rd.from_arrow(_purge(base, {singleton})), _cfg())
+    pd.testing.assert_frame_equal(_clusters_df(inc), _clusters_df(full))
+    pd.testing.assert_frame_equal(_golden_df(inc), _golden_df(full))
