@@ -2631,6 +2631,45 @@ def q_docs_top_tokens_mg(sf_dir: str):
 _QUANTILE_QS = ("0.25", "0.5", "0.75", "0.9", "0.99")
 
 
+def q_docs_len_quantiles_mrl(sf_dir: str):
+    """MRL quantile summary (functions/mrl.py) — the bounded-memory
+    scale path for ``docs_len_quantiles`` (its exact, oracle-checked
+    counterpart): each block folds to an O(k·log n) summary, all
+    summaries merge level-wise on the driver, one weighted rank
+    selection answers every quantile. Rows-only (approximate with a
+    tested rank-error bound); agreement with the exact operator is
+    asserted in tests/test_mrl.py."""
+    from ..functions.mrl import (
+        mrl_build,
+        mrl_from_rows,
+        mrl_merge,
+        mrl_quantiles,
+        mrl_to_rows,
+    )
+
+    K = 256
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        s = mrl_build(t["n_chars"].to_numpy(zero_copy_only=False), K)
+        lv, vals = mrl_to_rows(s)
+        return pa.table(
+            {"level": pa.array(lv, pa.int64()), "value": pa.array(vals, pa.float64())}
+        )
+
+    parts = ds.map_batches(fold, batch_format="pyarrow").to_pandas()
+    s = mrl_from_rows(parts["level"].to_numpy(), parts["value"].to_numpy())
+    s = mrl_merge(s, mrl_build([], K), K)  # one cascade over the union
+    qs = [float(q) for q in _QUANTILE_QS]
+    vals = mrl_quantiles(s, qs)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "n_chars_est": pa.array(vals.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_docs_len_quantiles(sf_dir: str):
     """Exact corpus length quantiles WITHOUT a global sort: iterative
     histogram refinement (stages/quantiles.py) — rank selection at
@@ -2882,6 +2921,7 @@ QUERIES = {
     "docs_top_tokens_mg": q_docs_top_tokens_mg,
     "docs_rare_terms": q_docs_rare_terms,
     "docs_len_quantiles": q_docs_len_quantiles,
+    "docs_len_quantiles_mrl": q_docs_len_quantiles_mrl,
     "docs_len_quantiles_by_lang": q_docs_len_quantiles_by_lang,
     "docs_decontaminate": q_docs_decontaminate,
     "web_line_dedup": q_web_line_dedup,

@@ -61,6 +61,7 @@ def test_query_matches_oracle(name, ray_session):
         "er_incremental",
         "docs_distinct_tokens_hll",
         "docs_top_tokens_mg",
+        "docs_len_quantiles_mrl",
     ],
 )
 def test_rows_only_queries_run(name, ray_session):
