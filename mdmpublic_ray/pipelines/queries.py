@@ -2165,6 +2165,59 @@ JOIN agg a USING (text)
 # --------------------------------------------------------------------------
 
 
+def q_orders_above_customer_avg(sf_dir: str):
+    """Correlated-subquery family: orders whose price exceeds their own
+    customer's average order price. One cents-exact per-customer
+    aggregate (map-side combine → small groupby), broadcast via ray.put,
+    then a pure map filter over orders — the per-group benchmark filter
+    without any self-join shuffle."""
+    import ray as _ray
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "p_c": (df["o_totalprice"] * 100).round().astype("int64"),
+            }
+        )
+
+    agg = partial_sum_groupby(
+        orders.map_batches(cents, batch_format="pandas"),
+        ["o_custkey"],
+        {"p_c": "p_c"},
+        "n",
+    ).to_pandas()
+    avg = (agg["p_c"].to_numpy().astype("float64") / 100.0) / agg["n"].to_numpy()
+    ref = _ray.put(dict(zip(agg["o_custkey"].to_numpy(), avg)))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(ref)
+        cavg = df["o_custkey"].map(m).to_numpy()
+        keep = df["o_totalprice"].to_numpy() > cavg
+        out = df.loc[keep, ["o_orderkey", "o_custkey", "o_totalprice"]].copy()
+        out["cust_avg"] = cavg[keep]
+        return out
+
+    return orders.map_batches(pick, batch_format="pandas")
+
+
+SQL_ORDERS_ABOVE_CUSTOMER_AVG = """
+WITH a AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100
+           / COUNT(*) AS cust_avg
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, a.cust_avg
+FROM orders o JOIN a USING (o_custkey)
+WHERE o.o_totalprice > a.cust_avg
+"""
+
+
 def q_orders_snapshot_diff(sf_dir: str):
     """Diff two deterministic snapshots of orders by primary key:
     snapshot A (previous run) lacks keys ≡3 (mod 11); snapshot B
@@ -2911,6 +2964,7 @@ QUERIES = {
     "user_profile": q_user_profile,
     "docs_survivorship": q_docs_survivorship,
     "orders_snapshot_diff": q_orders_snapshot_diff,
+    "orders_above_customer_avg": q_orders_above_customer_avg,
     "web_pii_redact": q_web_pii_redact,
     "web_boilerplate": q_web_boilerplate,
     "docs_split_assign": q_docs_split_assign,
@@ -2992,6 +3046,7 @@ ORACLE_SQL = {
     "user_profile": SQL_USER_PROFILE,
     "docs_survivorship": SQL_DOCS_SURVIVORSHIP,
     "orders_snapshot_diff": SQL_ORDERS_SNAPSHOT_DIFF,
+    "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
     "web_pii_redact": _sql_web_pii_redact(),
     "web_boilerplate": _sql_web_boilerplate(),
     "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
