@@ -37,6 +37,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_kind(dt) -> str:
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "ts"
+    return "obj"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_query_matches_oracle(name, ray_session):
     got = canon(to_pandas(QUERIES[name](SF)))
@@ -44,6 +56,15 @@ def test_query_matches_oracle(name, ray_session):
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
+    # the driver's value hash renders 1 and 1.0 differently: an int
+    # column on one side and float on the other hash-mismatches even
+    # when every value is equal (the r1 user_sessions red cell). Widths
+    # may differ (int32 vs int64 render identically) — kinds may not.
+    for c in got.columns:
+        kg, kw = _dtype_kind(got[c].dtype), _dtype_kind(want[c].dtype)
+        assert kg == kw, (
+            f"{name}.{c}: dtype kind {got[c].dtype} vs oracle {want[c].dtype}"
+        )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True,
                                   obj=name)
