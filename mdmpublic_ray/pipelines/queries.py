@@ -1976,6 +1976,107 @@ FROM ({_sql_log_auth_events().strip()}) GROUP BY host
 """
 
 
+# --------------------------------------------------------------------------
+# JSONL record source (sources/jsonlog.py) — typed JSON ingestion incl.
+# nested-struct extraction, the structured-log leg of the S-family
+# --------------------------------------------------------------------------
+
+
+def q_api_endpoint_stats(sf_dir: str):
+    """read_json → per (endpoint, error-class) counts + latency sum: flat
+    typed projection off the Arrow JSON reader, map-side combine, one
+    small groupby. ``is_error`` derives from an int comparison (no parse
+    step anywhere — the reader delivers typed columns)."""
+    from ..sources.jsonlog import read_api_log
+
+    ds = read_api_log()
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "endpoint": t["endpoint"],
+                "is_error": pc.greater_equal(t["status"], 500),
+                "latency_ms": t["latency_ms"],
+            }
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["endpoint", "is_error"],
+        {"latency_ms": "total_latency_ms"},
+        "n",
+    )
+
+
+def _sql_api_endpoint_stats() -> str:
+    from ..sources.jsonlog import api_log_path
+
+    return f"""
+SELECT endpoint, status >= 500 AS is_error,
+       CAST(SUM(latency_ms) AS BIGINT) AS total_latency_ms,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM read_json_auto('{api_log_path()}')
+GROUP BY 1, 2
+"""
+
+
+def q_api_region_users(sf_dir: str):
+    """Nested-struct extraction + null-aware distinct count: requests
+    and distinct authenticated users per meta.region (anonymous rows
+    have user = null and must not count). Struct field access is one
+    Arrow kernel (``pc.struct_field``); the distinct count pre-combines
+    per batch so the shuffle carries ≤ |regions|·|users| rows."""
+    from ..sources.jsonlog import read_api_log
+    from ..stages.util import bucketed_join
+
+    ds = read_api_log()
+
+    def part(t: pa.Table) -> pa.Table:
+        region = pc.struct_field(t["meta"], "region")
+        return pa.table({"region": region, "user": t["user"]})
+
+    flat = ds.map_batches(part, batch_format="pyarrow")
+
+    counts = partial_sum_groupby(
+        flat.map_batches(
+            lambda t: pa.table({"region": t["region"]}), batch_format="pyarrow"
+        ),
+        ["region"],
+        {},
+        "n_requests",
+    )
+
+    def upairs(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch combiner: distinct (region, user) only, nulls out
+        return df[df["user"].notna()].drop_duplicates()
+
+    users = (
+        flat.map_batches(upairs, batch_format="pandas")
+        .groupby(["region", "user"])
+        .count()  # global distinct (region, user) pairs
+        .map_batches(
+            lambda df: pd.DataFrame({"region": df["region"]}),
+            batch_format="pandas",
+        )
+    )
+    users = partial_sum_groupby(users, ["region"], {}, "n_users")
+    users = users.map_batches(
+        lambda t: t.rename_columns(["region_u", "n_users"]), batch_format="pyarrow"
+    )
+    return bucketed_join(counts, users, "region", "region_u", n_buckets=8)
+
+
+def _sql_api_region_users() -> str:
+    from ..sources.jsonlog import api_log_path
+
+    return f"""
+SELECT meta.region AS region, CAST(COUNT(*) AS BIGINT) AS n_requests,
+       CAST(COUNT(DISTINCT "user") AS BIGINT) AS n_users
+FROM read_json_auto('{api_log_path()}')
+GROUP BY 1
+"""
+
+
 _STALE_ANCHOR = "1995-06-01"
 _STALE_DAYS = 90
 
@@ -2959,6 +3060,8 @@ QUERIES = {
     "log_noise_filtered": q_log_noise_filtered,
     "log_privileged_accepts": q_log_privileged_accepts,
     "hosts_any_invalid": q_hosts_any_invalid,
+    "api_endpoint_stats": q_api_endpoint_stats,
+    "api_region_users": q_api_region_users,
     "urgent_stale_orders": q_urgent_stale_orders,
     "user_event_types": q_user_event_types,
     "user_profile": q_user_profile,
@@ -3041,6 +3144,8 @@ ORACLE_SQL = {
     "log_noise_filtered": _sql_log_noise_filtered(),
     "log_privileged_accepts": _sql_log_privileged_accepts(),
     "hosts_any_invalid": _sql_hosts_any_invalid(),
+    "api_endpoint_stats": _sql_api_endpoint_stats(),
+    "api_region_users": _sql_api_region_users(),
     "urgent_stale_orders": SQL_URGENT_STALE_ORDERS,
     "user_event_types": SQL_USER_EVENT_TYPES,
     "user_profile": SQL_USER_PROFILE,
