@@ -1357,6 +1357,69 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.45
 """
 
 
+def q_embeddings_degrees(sf_dir: str):
+    """Graph degree statistics over the exact near-dup graph (the match
+    graph's health check — a skewed degree distribution means a hub
+    entity is over-matching): node degree per vec_id, isolated nodes
+    included with degree 0. Edge endpoints explode in a map, a map-side
+    combine pre-sums per batch, one |V|-sized groupby; the left join
+    back to the full id set is a broadcast lookup."""
+    from ..stages.simjoin import cosine_pairs_tiled
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = cosine_pairs_tiled(ds, tau=0.45, n_blocks=4)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+
+        return _pa.table(
+            {
+                "vec_id": _pa.concat_arrays(
+                    [
+                        t["vec_id_a"].combine_chunks(),
+                        t["vec_id_b"].combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    deg = partial_sum_groupby(
+        pairs.map_batches(endpoints, batch_format="pyarrow"),
+        ["vec_id"],
+        {},
+        "degree",
+    ).to_pandas()
+    import ray as _ray
+
+    ref = _ray.put(dict(zip(deg["vec_id"], deg["degree"])))
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        d = np.fromiter((m.get(i, 0) for i in ids), dtype=np.int64, count=len(ids))
+        return pa.table({"vec_id": t["vec_id"], "degree": pa.array(d)})
+
+    return read_table(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+
+
+SQL_EMBEDDINGS_DEGREES = """
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM t a JOIN t b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+), ends AS (
+  SELECT vec_id_a AS vec_id FROM p UNION ALL SELECT vec_id_b FROM p
+), d AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS degree FROM ends GROUP BY vec_id
+)
+SELECT e.vec_id, COALESCE(d.degree, 0) AS degree
+FROM embeddings e LEFT JOIN d USING (vec_id)
+"""
+
+
 def q_embeddings_clusters(sf_dir: str):
     """Embedding near-duplicate CLUSTERS: distributed transitive closure
     (stages/cluster.py connected components — the ER engine's clustering
@@ -2074,6 +2137,45 @@ SELECT meta.region AS region, CAST(COUNT(*) AS BIGINT) AS n_requests,
        CAST(COUNT(DISTINCT "user") AS BIGINT) AS n_users
 FROM read_json_auto('{api_log_path()}')
 GROUP BY 1
+"""
+
+
+def q_inventory_value(sf_dir: str):
+    """read_csv → typed aggregate: stock value per (warehouse, category)
+    — all-integer arithmetic off the Arrow CSV reader (qty × unit_cents
+    inside the map, map-side combine, one tiny groupby). The CSV leg of
+    the source-format family."""
+    from ..sources.csvfeed import read_inventory
+
+    ds = read_inventory()
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.multiply(t["qty"], t["unit_cents"])
+        return pa.table(
+            {
+                "warehouse": t["warehouse"],
+                "category": t["category"],
+                "value_cents": pc.cast(v, pa.int64()),
+            }
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["warehouse", "category"],
+        {"value_cents": "value_cents"},
+        "n_skus",
+    )
+
+
+def _sql_inventory_value() -> str:
+    from ..sources.csvfeed import inventory_csv_path
+
+    return f"""
+SELECT warehouse, category,
+       CAST(SUM(qty * unit_cents) AS BIGINT) AS value_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_skus
+FROM read_csv_auto('{inventory_csv_path()}')
+GROUP BY 1, 2
 """
 
 
@@ -3053,6 +3155,7 @@ QUERIES = {
     "embedding_dims": q_embedding_dims,
     "embedding_label_centroids": q_embedding_label_centroids,
     "embeddings_neardup": q_embeddings_neardup,
+    "embeddings_degrees": q_embeddings_degrees,
     "embeddings_clusters": q_embeddings_clusters,
     "log_auth_events": q_log_auth_events,
     "log_failed_by_ip": q_log_failed_by_ip,
@@ -3062,6 +3165,7 @@ QUERIES = {
     "hosts_any_invalid": q_hosts_any_invalid,
     "api_endpoint_stats": q_api_endpoint_stats,
     "api_region_users": q_api_region_users,
+    "inventory_value": q_inventory_value,
     "urgent_stale_orders": q_urgent_stale_orders,
     "user_event_types": q_user_event_types,
     "user_profile": q_user_profile,
@@ -3137,6 +3241,7 @@ ORACLE_SQL = {
     "embedding_dims": SQL_EMBEDDING_DIMS,
     "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
     "embeddings_neardup": SQL_EMBEDDINGS_NEARDUP,
+    "embeddings_degrees": SQL_EMBEDDINGS_DEGREES,
     "embeddings_clusters": SQL_EMBEDDINGS_CLUSTERS,
     "log_auth_events": _sql_log_auth_events(),
     "log_failed_by_ip": _sql_log_failed_by_ip(),
@@ -3146,6 +3251,7 @@ ORACLE_SQL = {
     "hosts_any_invalid": _sql_hosts_any_invalid(),
     "api_endpoint_stats": _sql_api_endpoint_stats(),
     "api_region_users": _sql_api_region_users(),
+    "inventory_value": _sql_inventory_value(),
     "urgent_stale_orders": SQL_URGENT_STALE_ORDERS,
     "user_event_types": SQL_USER_EVENT_TYPES,
     "user_profile": SQL_USER_PROFILE,
