@@ -289,3 +289,29 @@ def langid(text: str) -> str:
         if score > best_score:
             best, best_score = lang, score
     return best
+
+
+_PKG_VERSION_SEPS = ("==", ">=", "<=", "~=", "!=", ">", "<", "@", "=")
+
+
+def canonicalize_package_list(s: str) -> str:
+    """Package-list canonicalizer (SURVEY §2 M13 — the reference's
+    pip/yum list normalization, ``deploy_cluster.sh``'s dependency-diff
+    prep): split on commas/semicolons/whitespace, strip version
+    constraints and extras markers, lowercase, normalize ``_``/``.`` to
+    ``-`` (PEP 503 name normalization), dedupe, emit sorted
+    comma-joined. Idempotent and order-insensitive (hypothesis-tested).
+    """
+    out = set()
+    for raw in s.replace(",", " ").replace(";", " ").split():
+        name = raw
+        for sep in _PKG_VERSION_SEPS:
+            idx = name.find(sep)
+            if idx != -1:
+                name = name[:idx]
+        name = name.split("[")[0].strip().lower()
+        name = name.replace("_", "-").replace(".", "-")
+        name = name.strip("-")
+        if name:
+            out.add(name)
+    return ",".join(sorted(out))

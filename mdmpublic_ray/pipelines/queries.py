@@ -2609,6 +2609,41 @@ def q_docs_stratified_sample(sf_dir: str, k: int = _SAMPLE_K):
     return bucketed_map_groups(part, "lang", final)
 
 
+_WEEKDAY_SALT = "wkday7"
+_WEEKDAY_KEEP_HEX = "1a"  # md5-prefix < 0x1a / 0x100 ≈ 10.2% on weekdays
+
+
+def q_events_weekday_sample(sf_dir: str):
+    """Day-of-week-conditional sampling policy (SURVEY §2 T4 — the
+    reference's weekday/weekend backup cadence applied as a DATA
+    operator): weekend events are kept in full, weekday events are
+    thinned to a deterministic ~10% by salted-md5 rank — the off-peak
+    full / peak sampled telemetry policy. Pure map (the day-of-week and
+    the hash are per-row); no shuffle, no RNG state."""
+    import hashlib
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        dow = df["ts"].dt.dayofweek  # Mon=0 .. Sun=6
+        weekend = dow >= 5
+        h = df["event_id"].map(
+            lambda i: hashlib.md5(f"{_WEEKDAY_SALT}{i}".encode()).hexdigest()[:2]
+        )
+        keep = weekend | (h < _WEEKDAY_KEEP_HEX)
+        return df.loc[keep, ["event_id", "ts", "event_type"]]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+SQL_EVENTS_WEEKDAY_SAMPLE = f"""
+SELECT event_id, ts, event_type FROM events
+WHERE isodow(ts) >= 6
+   OR substr(md5('{_WEEKDAY_SALT}' || CAST(event_id AS VARCHAR)), 1, 2)
+        < '{_WEEKDAY_KEEP_HEX}'
+"""
+
+
 _WSAMPLE_SALT = "wsample1"
 # floor(0.2 * 2^40): accept probability is 0.2 at the maximum weight,
 # scaled linearly below it. Kept as an integer so the accept test is
@@ -3177,6 +3212,7 @@ QUERIES = {
     "docs_split_assign": q_docs_split_assign,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_weighted_sample": q_docs_weighted_sample,
+    "events_weekday_sample": q_events_weekday_sample,
     "docs_mixture_sample": q_docs_mixture_sample,
     "docs_top_tokens": q_docs_top_tokens,
     "docs_top_tokens_mg": q_docs_top_tokens_mg,
@@ -3263,6 +3299,7 @@ ORACLE_SQL = {
     "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
     "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
+    "events_weekday_sample": SQL_EVENTS_WEEKDAY_SAMPLE,
     "docs_mixture_sample": _sql_docs_mixture_sample(),
     "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
     "docs_rare_terms": SQL_DOCS_RARE_TERMS,

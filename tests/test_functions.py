@@ -89,3 +89,42 @@ def test_rolling_fingerprints_deterministic():
     f1 = T.rolling_fingerprints(toks)
     f2 = T.rolling_fingerprints(list(toks))
     assert f1 == f2 and len(f1) <= 8
+
+
+class TestPackageCanonicalizer:
+    def test_versions_extras_separators(self):
+        from mdmpublic_ray.functions.text import canonicalize_package_list as c
+
+        s = "Numpy==1.26.4, pandas>=2.0 ; ray[data]~=2.49 torch@file:///x Pillow pillow==9"
+        assert c(s) == "numpy,pandas,pillow,ray,torch"
+        assert c("") == ""
+        assert c("A_b.c==1 a-b-c") == "a-b-c"
+
+    def test_idempotent_and_order_insensitive(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from mdmpublic_ray.functions.text import canonicalize_package_list as c
+
+        name = st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyzABC-_.0123456789", min_size=1, max_size=12
+        )
+        pkg = st.builds(
+            lambda n, v: n + v,
+            name,
+            st.sampled_from(["", "==1.0", ">=2", "~=3.1", "[extra]==4"]),
+        )
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.lists(pkg, max_size=8))
+        def run(pkgs):
+            s = " ".join(pkgs)
+            canon = c(s)
+            assert c(canon) == canon  # idempotent
+            import random
+
+            sh = pkgs[:]
+            random.Random(0).shuffle(sh)
+            assert c(" ".join(sh)) == canon  # order-insensitive
+
+        run()
