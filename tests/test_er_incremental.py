@@ -526,3 +526,35 @@ def test_incremental_readd_after_delete(ray_session, split_corpus, tmp_path):
     full = run_er(rd.from_arrow(_purge(base, {singleton})), _cfg())
     pd.testing.assert_frame_equal(_clusters_df(inc), _clusters_df(full))
     pd.testing.assert_frame_equal(_golden_df(inc), _golden_df(full))
+
+
+def test_incremental_chain_delete_then_delta(ray_session, split_corpus, tmp_path):
+    """Deletions chain like any increment: delete → write_state → apply
+    the delta against the published state; final state equals the full
+    run over (base − deleted) + delta."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    pages, base, delta = split_corpus
+    state = str(tmp_path / "state")
+    out = run_er(rd.from_arrow(base), _cfg(state, "base"))
+    _rep, other, singleton = _pick_deletions(out)
+    deleted = {other, singleton}
+
+    inc1 = run_er_incremental(
+        rd.from_arrow(base.schema.empty_table()),
+        _cfg(),
+        state_dir=state,
+        prev_run_id="base",
+        deleted_urls=sorted(deleted),
+    )
+    write_state(inc1, state, "afterdel", _cfg())
+
+    inc2 = run_er_incremental(
+        rd.from_arrow(delta), _cfg(), state_dir=state, prev_run_id="afterdel"
+    )
+
+    combined = pa.concat_tables([_purge(base, deleted), delta])
+    full = run_er(rd.from_arrow(combined), _cfg())
+    pd.testing.assert_frame_equal(_clusters_df(inc2), _clusters_df(full))
+    pd.testing.assert_frame_equal(_golden_df(inc2), _golden_df(full))
