@@ -43,9 +43,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle per SQL-expressible query (same column names; exact
     fixed-point sums — see queries.py module docstring). Keys absent
-    here (docs_simhash*, docs_minhash_clusters, knn_cosine_lsh/_ivf,
-    er_clusters, er_golden, er_incremental, pages_media_features) are
-    non-SQL-expressible / approximate pipelines → rows-only check."""
+    here (the simhash/minhash cluster pipelines, the LSH/IVF ANN paths,
+    the er_* pipelines, pages_media_features, and the sketch variants
+    docs_distinct_tokens_hll / docs_top_tokens_mg /
+    docs_len_quantiles_mrl) are non-SQL-expressible or approximate
+    pipelines → rows-only check, each with dedicated pytest semantics
+    (error bounds, recall floors, or planted-truth equality)."""
     from mdmpublic_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)
