@@ -2368,6 +2368,94 @@ JOIN agg a USING (text)
 # --------------------------------------------------------------------------
 
 
+def _ed_le1(u: str, v: str) -> bool:
+    """Exact edit-distance ≤ 1 check (two-pointer; candidates only —
+    never called on the full cross product)."""
+    if u == v:
+        return True
+    lu, lv = len(u), len(v)
+    if abs(lu - lv) > 1:
+        return False
+    if lu == lv:
+        return sum(a != b for a, b in zip(u, v)) == 1
+    if lu > lv:
+        u, v, lu, lv = v, u, lv, lu
+    i = 0
+    while i < lu and u[i] == v[i]:
+        i += 1
+    return u[i:] == v[i + 1 :]
+
+
+def q_part_fuzzy_pairs(sf_dir: str):
+    """Fuzzy self-join via FastSS deletion-neighborhood blocking (Bocek
+    et al. 2007, public): distinct part names within edit distance 1.
+    Candidates = names sharing a deletion variant (the string itself or
+    any single-char deletion), so the candidate space is O(names · len)
+    keys instead of the O(n²) cross product; each candidate pair is then
+    verified with the exact two-pointer check. Same blocking→verify
+    shape as the ER pipeline, specialized to string keys."""
+    from ..stages.util import bucketed_map_groups
+
+    names = (
+        read_table(sf_dir, "part", columns=["p_name"])
+        .groupby("p_name")
+        .count()
+        .select_columns(["p_name"])
+    )
+
+    def variants(t: pa.Table) -> pa.Table:
+        ks: list[str] = []
+        ns: list[str] = []
+        for n in t["p_name"].to_pylist():
+            ks.append(n)
+            ns.append(n)
+            for i in range(len(n)):
+                ks.append(n[:i] + n[i + 1 :])
+                ns.append(n)
+        return pa.table({"vkey": pa.array(ks, pa.string()),
+                         "name": pa.array(ns, pa.string())})
+
+    ex = names.map_batches(variants, batch_format="pyarrow")
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[str] = []
+        out_b: list[str] = []
+        for _, g in df.groupby("vkey", sort=False):
+            u = sorted(set(g["name"]))
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    out_a.append(u[i])
+                    out_b.append(u[j])
+        return pd.DataFrame({"name_a": out_a, "name_b": out_b})
+
+    pairs = bucketed_map_groups(ex, "vkey", gen)
+
+    def dedupe_verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=["name_a", "name_b"])
+        if df.empty:
+            return df[["name_a", "name_b"]]
+        keep = np.fromiter(
+            (_ed_le1(a, b) for a, b in zip(df["name_a"], df["name_b"])),
+            dtype=bool,
+            count=len(df),
+        )
+        return df.loc[keep, ["name_a", "name_b"]]
+
+    keyed = pairs.map_batches(
+        lambda df: df.assign(_pk=df["name_a"] + "|" + df["name_b"]),
+        batch_format="pandas",
+    )
+    return bucketed_map_groups(keyed, "_pk", dedupe_verify)
+
+
+SQL_PART_FUZZY_PAIRS = """
+WITH p AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b
+FROM p a JOIN p b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) = 1
+"""
+
+
 def q_orders_above_customer_avg(sf_dir: str):
     """Correlated-subquery family: orders whose price exceeds their own
     customer's average order price. One cents-exact per-customer
@@ -3207,6 +3295,7 @@ QUERIES = {
     "docs_survivorship": q_docs_survivorship,
     "orders_snapshot_diff": q_orders_snapshot_diff,
     "orders_above_customer_avg": q_orders_above_customer_avg,
+    "part_fuzzy_pairs": q_part_fuzzy_pairs,
     "web_pii_redact": q_web_pii_redact,
     "web_boilerplate": q_web_boilerplate,
     "docs_split_assign": q_docs_split_assign,
@@ -3294,6 +3383,7 @@ ORACLE_SQL = {
     "docs_survivorship": SQL_DOCS_SURVIVORSHIP,
     "orders_snapshot_diff": SQL_ORDERS_SNAPSHOT_DIFF,
     "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
+    "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
     "web_pii_redact": _sql_web_pii_redact(),
     "web_boilerplate": _sql_web_boilerplate(),
     "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
