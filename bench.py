@@ -105,6 +105,32 @@ def _run_bench() -> dict:
             "full_rerun_sec": timings["er_pipeline"],
             "speedup_vs_full_rerun": round(er_sec / inc_sec, 2) if inc_sec else None,
         }
+
+        # deletion-only increment against the same base state: tombstone
+        # 1% of urls (every 100th); work must track the deletions, not
+        # the corpus (BASELINE.md "Tombstone deletions" section)
+        import pyarrow as _pa
+
+        base_urls = sorted(set(base_tbl["url"].to_pylist()))
+        tomb = base_urls[::100]
+        empty_delta = rd.from_arrow(base_tbl.schema.empty_table())
+        t0 = time.monotonic()
+        dele = run_er_incremental(
+            empty_delta,
+            ERConfig(),
+            state_dir=state,
+            prev_run_id="base",
+            deleted_urls=tomb,
+        )
+        n_del_clusters = dele["clusters"].count()
+        del_sec = time.monotonic() - t0
+        timings["er_incremental_delete"] = round(del_sec, 3)
+        extras["er_incremental_delete"] = {
+            "tombstones": len(tomb),
+            "clusters": n_del_clusters,
+            **{k: v for k, v in dele["incremental"].items()
+               if k in ("n_deleted", "n_affected_clusters", "n_changed_clusters")},
+        }
     finally:
         shutil.rmtree(state, ignore_errors=True)
 
