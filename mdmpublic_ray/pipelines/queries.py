@@ -359,6 +359,30 @@ FROM events GROUP BY 1
 """
 
 
+def q_daily_type_unpivot(sf_dir: str):
+    """Wide→long reshape (UNPIVOT — the inverse of ``daily_type_pivot``):
+    the pivoted day×type count matrix melted back to (day, event_type,
+    n) rows, zero-count cells dropped. Melt is a pure per-batch map over
+    the already-small pivoted table — reshaping in either direction adds
+    no shuffle beyond the pivot's own groupby."""
+    wide = q_daily_type_pivot(sf_dir)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars=["day"], var_name="event_type", value_name="n")
+        out["event_type"] = out["event_type"].str.removeprefix("n_")
+        out = out[out["n"] > 0]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return wide.map_batches(melt, batch_format="pandas")
+
+
+SQL_DAILY_TYPE_UNPIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_monthly_rollup(sf_dir: str):
     """Multi-level aggregate (ROLLUP): per-month counts, plus a yearly
     subtotal row per year (month NULL→'ALL'), plus one grand-total row —
@@ -3248,6 +3272,7 @@ QUERIES = {
     "event_type_stats": q_event_type_stats,
     "daily_type_counts": q_daily_type_counts,
     "daily_type_pivot": q_daily_type_pivot,
+    "daily_type_unpivot": q_daily_type_unpivot,
     "monthly_rollup": q_monthly_rollup,
     "user_rolling_sum": q_user_rolling_sum,
     "distinct_event_types": q_distinct_event_types,
@@ -3336,6 +3361,7 @@ ORACLE_SQL = {
     "event_type_stats": SQL_EVENT_TYPE_STATS,
     "daily_type_counts": SQL_DAILY_TYPE,
     "daily_type_pivot": SQL_DAILY_TYPE_PIVOT,
+    "daily_type_unpivot": SQL_DAILY_TYPE_UNPIVOT,
     "monthly_rollup": SQL_MONTHLY_ROLLUP,
     "user_rolling_sum": SQL_USER_ROLLING_SUM,
     "distinct_event_types": SQL_DISTINCT_TYPES,

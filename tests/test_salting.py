@@ -149,6 +149,23 @@ def test_bucketed_join_hot_key_salting_same_result(ray_session):
         )
         assert plain.equals(salted), how
 
+    # hot key ABSENT from the right side: every hot left row must still
+    # appear exactly once in a left join (spread across sub-buckets, all
+    # unmatched)
+    def norm2(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["k", "lv"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    plain = norm2(bucketed_join(left, right, "k", "rv", how="left", n_buckets=16))
+    salted = norm2(
+        bucketed_join(left, right, "k", "rv", how="left", n_buckets=16,
+                      hot_keys={42}, hot_salt=4)
+    )
+    assert plain.equals(salted)
+
     import pytest
 
     with pytest.raises(ValueError):
