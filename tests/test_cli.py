@@ -40,6 +40,7 @@ def cli_corpus(tmp_path_factory):
     pq.write_table(base, str(d / "base.parquet"))
     pq.write_table(delta, str(d / "delta.parquet"))
     pq.write_table(pages, str(d / "all.parquet"))
+    pq.write_table(base.schema.empty_table(), str(d / "empty.parquet"))
     return d
 
 
@@ -74,6 +75,20 @@ def test_cli_full_cycle(cli_corpus):
     assert gd["counts"].get("same", 0) > 0
     assert sum(gd["counts"].values()) >= out1["golden"]
 
+    # day2: deletion-only increment via --deleted tombstone file
+    base_urls = pq.read_table(str(d / "base.parquet"), columns=["url"])
+    tomb = sorted(set(base_urls["url"].to_pylist()))[:2]
+    tomb_file = str(d / "tombstones.txt")
+    with open(tomb_file, "w") as f:
+        f.write("\n".join(tomb) + "\n")
+    out3 = _run(
+        ["incremental", "--input", str(d / "empty.parquet"), "--state", state,
+         "--prev-run-id", "day1", "--run-id", "day2", "--num-cpus", "4",
+         "--deleted", tomb_file]
+    )
+    assert out3["n_deleted"] == 2
+    assert out3["clusters"] <= out2["clusters"]
+
     ret = _run(["retention", "--state", state, "--keep-last", "1"])
     assert "day0" in ret["removed"]
-    assert os.path.isdir(os.path.join(state, "day1"))
+    assert os.path.isdir(os.path.join(state, "day2"))
