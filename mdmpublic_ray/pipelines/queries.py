@@ -3262,6 +3262,92 @@ FROM documents d
 # Registry
 # --------------------------------------------------------------------------
 
+def q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995)
+    over documents: global sort by (n_chars, doc_id) — length as the
+    fuzzy key, doc_id as the unique tiebreaker — then every pair whose
+    ranks differ by < 6 shares a sliding window. Exact across block
+    boundaries via the running-tail handoff in ``stages/snm.py``; the
+    third blocking family beside host keys and MinHash/LSH
+    (``stages/blocking.py``). Reference ancestry: the per-field candidate
+    indexes of ``python/db_backup/es_backup.py:61``."""
+    from ..stages.snm import sorted_window_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return sorted_window_pairs(
+        docs,
+        sort_cols=["n_chars", "doc_id"],
+        id_col="doc_id",
+        window=6,
+        out_a="doc_id_a",
+        out_b="doc_id_b",
+    )
+
+
+SQL_SNM_PAIRS = """
+WITH ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 5
+"""
+
+
+def q_purchase_error_context(sf_dir: str):
+    """Per-key time-range join (the range-join family beside the as-of
+    join ``purchase_asof_signup``): for every purchase event, count the
+    same user's error events in the preceding 10 minutes. Shuffle is one
+    hash partition by user_id over the two filtered event types only;
+    inside each group the interval probe is two vectorized
+    ``np.searchsorted`` calls against the sorted error timestamps —
+    O(n log n) per group, never an all-pairs expansion. The keyless
+    variant of this operator would replicate the small side to coarse
+    time buckets (interval bucketing) instead of a user hash. Reference
+    ancestry: the login-report's per-user time-window correlation
+    (``jenkins_scripts/report/ssh_login_report.sh:137-203``)."""
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["purchase", "error"]))
+        )
+
+    ev = ev.map_batches(keep, batch_format="pyarrow")
+
+    def ctx(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        p_ts = ts[is_p]
+        e_ts = np.sort(ts[~is_p])
+        hi = np.searchsorted(e_ts, p_ts, side="right")
+        lo = np.searchsorted(e_ts, p_ts - 600_000_000, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[is_p],
+                "user_id": g["user_id"].to_numpy()[is_p],
+                "n_errors_10m": (hi - lo).astype("int64"),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(ctx, batch_format="pandas")
+
+
+SQL_PURCHASE_ERROR_CONTEXT = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     e AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT p.event_id, p.user_id,
+       CAST(COUNT(e.ts) AS BIGINT) AS n_errors_10m
+FROM p LEFT JOIN e
+  ON e.user_id = p.user_id
+ AND e.ts > p.ts - INTERVAL 10 MINUTE
+ AND e.ts <= p.ts
+GROUP BY p.event_id, p.user_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project_lineitem": q_filter_project_lineitem,
@@ -3338,6 +3424,8 @@ QUERIES = {
     "web_line_dedup": q_web_line_dedup,
     "docs_pack_bins": q_docs_pack_bins,
     "web_prep": q_web_prep,
+    "snm_pairs": q_snm_pairs,
+    "purchase_error_context": q_purchase_error_context,
     # rows-only (no SQL oracle)
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "knn_cosine_ivf": q_knn_cosine_ivf,
@@ -3425,4 +3513,6 @@ ORACLE_SQL = {
     "web_line_dedup": _sql_web_line_dedup(),
     "docs_pack_bins": SQL_DOCS_PACK_BINS,
     "web_prep": _sql_web_prep(),
+    "snm_pairs": SQL_SNM_PAIRS,
+    "purchase_error_context": SQL_PURCHASE_ERROR_CONTEXT,
 }

@@ -1,0 +1,113 @@
+"""Sorted-neighborhood blocking (SNM) — exact sliding-window pair
+generation over a global sort order.
+
+Public algorithm: Hernandez & Stolfo, "The Merge/Purge Problem for Large
+Databases" (SIGMOD 1995): sort records by a fuzzy blocking key, slide a
+window of ``w`` records down the sorted stream, and pair every two
+records that ever share a window — i.e. all pairs whose global ranks
+differ by at most ``w - 1``. SNM complements the host + MinHash/LSH
+passes (``stages/blocking.py``): it catches near-duplicates whose
+similarity shows up in the SORT-KEY ordering (near-identical lengths,
+titles, timestamps) without any hashing, at O(n log n + n.w) cost.
+
+Scale shape: ``Dataset.sort`` range-partitions the input into globally
+ordered blocks; pairs are then emitted one task per block with a
+(w-1)-row running id-tail carried across block boundaries, so the output
+is EXACTLY the pair set a single sorted scan would produce — no
+block-boundary loss and no whole-dataset materialization. Driver-side
+state is only the per-block (w-1)-element id tails (O(num_blocks * w)
+int64s); block payloads stay in the object store and the pair tables are
+handed back to Ray Data via ``from_arrow_refs`` without touching the
+driver. This is one of the documented "drop to raw Ray tasks" exceptions
+(build brief: a rank-adjacency join needs ordered block handoff that
+``map_batches`` cannot express).
+
+Reference ancestry: the MDM matcher's per-field candidate indexes
+(``python/db_backup/es_backup.py:61``) play the same recall role; SNM is
+the classic sort-based alternative the reference's index-based blocking
+implies but never implements.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _ids_of(t: pa.Table, col: str) -> np.ndarray:
+    return (
+        t[col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+
+
+@ray.remote
+def _block_tail(t: pa.Table, col: str, w1: int) -> np.ndarray:
+    """Last ``w1`` ids of one sorted block (tiny: <= w-1 int64s)."""
+    n = t.num_rows
+    return _ids_of(t.slice(max(0, n - w1)), col)
+
+
+@ray.remote
+def _emit_pairs(
+    t: pa.Table, col: str, prev_tail: np.ndarray, window: int, out_a: str, out_b: str
+) -> pa.Table:
+    """Pairs (earlier-rank id, later-rank id) whose LATER element lives in
+    this block. Pairs entirely inside ``prev_tail`` were already emitted
+    by the previous block's task, so each pair appears exactly once."""
+    ids = np.concatenate([prev_tail, _ids_of(t, col)])
+    off = prev_tail.size
+    acc_a: list[np.ndarray] = []
+    acc_b: list[np.ndarray] = []
+    for d in range(1, window):
+        if ids.size <= d:
+            break
+        keep_from = max(0, off - d)  # index into the a-side slice
+        acc_a.append(ids[keep_from : ids.size - d])
+        acc_b.append(ids[keep_from + d :])
+    if acc_a:
+        a = np.concatenate(acc_a)
+        b = np.concatenate(acc_b)
+    else:
+        a = b = np.empty(0, dtype=np.int64)
+    return pa.table({out_a: pa.array(a), out_b: pa.array(b)})
+
+
+def sorted_window_pairs(
+    ds,
+    *,
+    sort_cols: list[str],
+    id_col: str,
+    window: int,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+):
+    """SNM candidate pairs: all (id_i, id_j) with rank(j) - rank(i) in
+    [1, window-1] under the total order ``sort_cols`` (which must end in
+    a unique tiebreaker, normally ``id_col``, for a deterministic rank).
+
+    Returns a Dataset of (out_a, out_b) with out_a the earlier-rank id.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    w1 = window - 1
+    refs = ds.sort(sort_cols).to_arrow_refs()
+    empty = pa.table(
+        {out_a: pa.array([], type=pa.int64()), out_b: pa.array([], type=pa.int64())}
+    )
+    if not refs:
+        return ray.data.from_arrow(empty)
+    # Per-block (w-1)-id tails, chained into the running tail each pair
+    # task prepends. Tails are tiny; everything heavy stays in tasks.
+    tails = ray.get([_block_tail.remote(r, id_col, w1) for r in refs])
+    running = np.empty(0, dtype=np.int64)
+    prev_for_block: list[np.ndarray] = []
+    for tail in tails:
+        prev_for_block.append(running)
+        if tail.size:
+            running = np.concatenate([running, tail])[-w1:]
+    pair_refs = [
+        _emit_pairs.remote(r, id_col, prev, window, out_a, out_b)
+        for r, prev in zip(refs, prev_for_block)
+    ]
+    return ray.data.from_arrow_refs(pair_refs)
