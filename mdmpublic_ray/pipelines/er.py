@@ -4,7 +4,8 @@
   → dedup-latest per url (shuffle of text rows, never html)
   → per-doc match features (MinHash / bottom-k sketch / title / uid)
   → multi-pass blocking (canonical host + LSH bands, int64 keys,
-    skew-aware salting of hot hosts)
+    skew-aware salting of hot hosts; optional sorted-neighborhood
+    window pass over titles, cfg.snm_window)
   → capped within-block candidate pairs (uid pairs) → pair dedup
   → vectorized pairwise scoring (Jaccard + Jaro-Winkler; broadcast or
     shuffle-join features by size) → match edges
@@ -48,6 +49,11 @@ class ERConfig:
     # hot-host skew salting (north_rule): hosts with more pages than
     # max_block_size are split into salted sub-blocks (see blocking.py)
     salt_hot_hosts: bool = True
+    # optional third blocking pass (0 = off): sorted-neighborhood window
+    # over (title, uid) — recall for near-dups whose similarity shows in
+    # the title ordering but misses both the host key and LSH bands
+    # (stages/snm.py; Hernandez & Stolfo SIGMOD 1995)
+    snm_window: int = 0
     # extract before the dedup shuffle (text shuffles instead of html —
     # see make_deduped; False restores dedup-first, results identical)
     extract_before_dedup: bool = True
@@ -189,13 +195,42 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             "salt_hot_hosts": cfg.salt_hot_hosts,
         },
     )
+    def make_pairs():
+        base = candidate_pairs(
+            blocks, max_block_size=cfg.max_block_size, n_buckets=cfg.n_buckets
+        )
+        if cfg.snm_window < 2:
+            return base
+        # SNM pass: window pairs over the global (title, uid) sort order,
+        # normalized to the canonical uid_a < uid_b pair identity and
+        # deduped against the host/LSH pairs in one bucketed pass.
+        from ..stages.pairs import dedup_pairs
+        from ..stages.snm import sorted_window_pairs
+
+        def norm(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            a, b = t["id_a"], t["id_b"]
+            return pa.table(
+                {
+                    "uid_a": _pc.min_element_wise(a, b),
+                    "uid_b": _pc.max_element_wise(a, b),
+                }
+            )
+
+        snm = sorted_window_pairs(
+            features.select_columns(["title", "uid"]),
+            sort_cols=["title", "uid"],
+            id_col="uid",
+            window=cfg.snm_window,
+        ).map_batches(norm, batch_format="pyarrow")
+        return dedup_pairs(base.union(snm), n_buckets=cfg.n_buckets)
+
     pairs = stage(
         "pairs",
-        lambda: candidate_pairs(
-            blocks, max_block_size=cfg.max_block_size, n_buckets=cfg.n_buckets
-        ),
-        parents=("blocks",),
-        params={"max_block_size": cfg.max_block_size},
+        make_pairs,
+        parents=("blocks", "features") if cfg.snm_window >= 2 else ("blocks",),
+        params={"max_block_size": cfg.max_block_size, "snm_window": cfg.snm_window},
     )
     def make_scored():
         import ray.data as rd

@@ -137,3 +137,27 @@ def test_blocking_metrics(er_result):
     assert 0 < m["n_candidates"] < m["n_docs"] * (m["n_docs"] - 1) // 2
     assert m["reduction_ratio"] > 0.5
     assert 0.0 < m["pair_quality"] <= 1.0
+
+
+def test_snm_pass_superset_and_f1(ray_session, corpus_dir, er_result):
+    """snm_window on: candidate pairs are a superset of the default
+    two-pass blocking and F1 stays 1.0 (SNM adds recall candidates; the
+    scorer keeps precision)."""
+    import ray.data as rd
+
+    base_out, _ = er_result
+    base_pairs = base_out["pairs"].to_pandas()
+    base_set = set(zip(base_pairs["uid_a"], base_pairs["uid_b"]))
+
+    pages = rd.read_parquet(f"{corpus_dir}/pages.parquet")
+    cfg = ERConfig(num_partitions=8, n_buckets=16, snm_window=4)
+    out = run_er(pages, cfg)
+    p = out["pairs"].to_pandas()
+    snm_set = set(zip(p["uid_a"], p["uid_b"]))
+    assert base_set <= snm_set
+    assert len(snm_set) > len(base_set)  # the window adds new candidates
+    assert len(snm_set) == len(p)  # still globally deduped
+
+    labels = rd.read_parquet(f"{corpus_dir}/labels.parquet")
+    m = pairwise_metrics(out["clusters"], labels)
+    assert m["f1"] >= 0.99
