@@ -3335,6 +3335,135 @@ def q_purchase_error_context(sf_dir: str):
     return ev.groupby("user_id").map_groups(ctx, batch_format="pandas")
 
 
+def q_nation_revenue(sf_dir: str):
+    """Multi-way join chain (TPC-H Q5 shape): customer ⋈ orders ⋈
+    lineitem ⋈ supplier ⋈ nation ⋈ region, local-supplier predicate
+    (c_nationkey = s_nationkey), ASIA region, one order-date year.
+    Plan: the three dimension sides (nation⋈region, supplier, customer)
+    are broadcast once via ``ray.put`` as sorted key/value numpy arrays
+    and attached with vectorized searchsorted inside map_batches — each
+    probe side is PRUNED to ASIA rows before the single large-large
+    exchange (orders ⋈ lineitem on orderkey, with the per-batch
+    orderkey combiner shrinking lineitem's shuffle ~4×). At real scale
+    the customer attach flips to ``stages/util.bucketed_join`` past the
+    engine's broadcast byte threshold (same reasoning as
+    ``stages/scoring.py:43``). Reference ancestry: the chained
+    per-source report joins of
+    ``jenkins_scripts/report/os_package_action_report.sh:118-150``."""
+    import ray as _ray
+
+    nation = read_table_arrow(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = read_table_arrow(sf_dir, "region", ["r_regionkey", "r_name"])
+    asia_rk = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    asia_nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=asia_rk.combine_chunks()))
+    nat_keys = asia_nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order_n = np.argsort(nat_keys)
+    nat_keys = nat_keys[order_n]
+    nat_names = asia_nat["n_name"].take(pa.array(order_n)).combine_chunks()
+
+    sup = read_table_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sup = sup.take(pc.sort_indices(sup["s_suppkey"]))
+    cust = read_table_arrow(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.take(pc.sort_indices(cust["c_custkey"]))
+    ref = _ray.put(
+        (
+            nat_keys,
+            sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    )
+
+    lo = np.datetime64("1996-01-01", "us").astype("int64")
+    hi = np.datetime64("1997-01-01", "us").astype("int64")
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        nk, _, _, ck, cn = _ray.get(ref)
+        od = pc.cast(t["o_orderdate"], pa.timestamp("us")).cast(pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(od, lo), pc.less(od, hi)))
+        custkey = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_nat = cn[np.searchsorted(ck, custkey)]
+        keep = np.isin(c_nat, nk)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "c_nat": pa.array(c_nat[keep]),
+            }
+        )
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        nk, sk, sn, _, _ = _ray.get(ref)
+        suppkey = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_nat = sn[np.searchsorted(sk, suppkey)]
+        keep = np.isin(s_nat, nk)
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        t = pa.table(
+            {
+                "l_orderkey": pa.array(
+                    t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "s_nat": pa.array(s_nat[keep]),
+                "rev_c": pa.array(cents(disc, 10_000).to_numpy(zero_copy_only=False)[keep]),
+            }
+        )
+        g = t.group_by(["l_orderkey", "s_nat"]).aggregate([("rev_c", "sum")])
+        return g.rename_columns(["l_orderkey", "s_nat", "rev_c"])
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    j = li.map_batches(prep_li, batch_format="pyarrow").join(
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        "inner", 16, on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def local_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["s_nat"], t["c_nat"]))
+        return pa.table({"s_nat": t["s_nat"], "rev_c": t["rev_c"]})
+
+    agg = partial_sum_groupby(
+        j.map_batches(local_only, batch_format="pyarrow"), ["s_nat"], {"rev_c": "rev_c"}, None
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        idx = pa.array(
+            np.searchsorted(nat_keys, t["s_nat"].to_numpy(zero_copy_only=False))
+        )
+        return pa.table(
+            {
+                "n_name": nat_names.take(idx),
+                "revenue": pc.divide(pc.cast(t["rev_c"], pa.float64()), 10000.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000
+    AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 SQL_PURCHASE_ERROR_CONTEXT = """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
      e AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
@@ -3426,6 +3555,7 @@ QUERIES = {
     "web_prep": q_web_prep,
     "snm_pairs": q_snm_pairs,
     "purchase_error_context": q_purchase_error_context,
+    "nation_revenue": q_nation_revenue,
     # rows-only (no SQL oracle)
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "knn_cosine_ivf": q_knn_cosine_ivf,
@@ -3515,4 +3645,5 @@ ORACLE_SQL = {
     "web_prep": _sql_web_prep(),
     "snm_pairs": SQL_SNM_PAIRS,
     "purchase_error_context": SQL_PURCHASE_ERROR_CONTEXT,
+    "nation_revenue": SQL_NATION_REVENUE,
 }
