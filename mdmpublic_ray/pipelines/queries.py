@@ -3335,6 +3335,64 @@ def q_purchase_error_context(sf_dir: str):
     return ev.groupby("user_id").map_groups(ctx, batch_format="pandas")
 
 
+def q_doc_triangles(sf_dir: str):
+    """Triangle enumeration over the near-dup graph (graph-analytics
+    family beside connected components `embeddings_clusters` and degree
+    counts `embeddings_degrees`): triples of mutually-similar documents
+    — the densest near-dup clusters. Because `similar_doc_pairs` emits
+    each edge once as (a < b), every triangle a<b<c appears exactly once
+    as wedge (a,b)+(b,c) closed by (a,c): two hash-partitioned
+    `bucketed_join`s, never an all-pairs pass. The edge set (O(near-dup
+    pairs), corpus-sublinear) is materialized once because three join
+    legs consume it. Pair-closure key packs (a,c) into one int64
+    (a<<32|c) — at id ranges past 2^31 the key becomes the engine's
+    stable_u64 of the pair. At web scale the standard degree-ordered
+    orientation applies unchanged: edges are already oriented a<b; rank
+    by (degree, id) instead to bound wedge fan-out to O(m^1.5)."""
+    from ..stages.util import bucketed_join
+
+    pairs = q_similar_doc_pairs(sf_dir).materialize()
+
+    def pack(a: pa.ChunkedArray, c) -> pa.ChunkedArray:
+        return pc.add(
+            pc.multiply(pc.cast(a, pa.int64()), pa.scalar(1 << 32, pa.int64())),
+            pc.cast(c, pa.int64()),
+        )
+
+    mids = pairs.rename_columns({"doc_id_a": "mid", "doc_id_b": "doc_id_c"})
+    wedges = bucketed_join(pairs, mids, "doc_id_b", "mid")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("pk", pack(t["doc_id_a"], t["doc_id_c"]))
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        return pa.table({"pk": pack(t["doc_id_a"], t["doc_id_b"])})
+
+    closed = bucketed_join(
+        wedges.map_batches(add_key, batch_format="pyarrow"),
+        pairs.map_batches(edge_key, batch_format="pyarrow").map_batches(
+            lambda t: t.append_column("hit", pa.array(np.ones(len(t), dtype=np.int8))),
+            batch_format="pyarrow",
+        ),
+        "pk",
+        "pk",
+    )
+    return closed.select_columns(["doc_id_a", "doc_id_b", "doc_id_c"])
+
+
+SQL_DOC_TRIANGLES = """
+WITH t AS (SELECT doc_id, lang, source,
+                  list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+           FROM documents),
+p AS (SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5)
+SELECT e1.a AS doc_id_a, e1.b AS doc_id_b, e2.b AS doc_id_c
+FROM p e1 JOIN p e2 ON e2.a = e1.b JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 def q_nation_revenue(sf_dir: str):
     """Multi-way join chain (TPC-H Q5 shape): customer ⋈ orders ⋈
     lineitem ⋈ supplier ⋈ nation ⋈ region, local-supplier predicate
@@ -3556,6 +3614,7 @@ QUERIES = {
     "snm_pairs": q_snm_pairs,
     "purchase_error_context": q_purchase_error_context,
     "nation_revenue": q_nation_revenue,
+    "doc_triangles": q_doc_triangles,
     # rows-only (no SQL oracle)
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "knn_cosine_ivf": q_knn_cosine_ivf,
@@ -3646,4 +3705,5 @@ ORACLE_SQL = {
     "snm_pairs": SQL_SNM_PAIRS,
     "purchase_error_context": SQL_PURCHASE_ERROR_CONTEXT,
     "nation_revenue": SQL_NATION_REVENUE,
+    "doc_triangles": SQL_DOC_TRIANGLES,
 }
