@@ -20,6 +20,9 @@ incremental  resolve a delta against a previous run's state; publishes the
 diff         manifest-level run-over-run diff of two published states
 golden-diff  record-level golden diff of two published states
 retention    prune old published run states (keep-last / max-age)
+plan         cadence decision (S9 full/diff/accu by weekday policy):
+             what kind of run today is and which published run to base
+             it on — feed its prev_run_id into ``incremental``
 
 Every command prints ONE JSON summary line to stdout (timings, row
 counts, per-stage metrics), in the spirit of the reference's timestamped
@@ -106,6 +109,9 @@ def cmd_run(args) -> dict:
     t0 = time.monotonic()
     out = run_er(rd.read_parquet(args.input), cfg)
     counts = _write_outputs(out, args.out or _default_out(args.state, args.run_id))
+    from .state.cadence import record_run_kind
+
+    record_run_kind(args.state, args.run_id, "full", when=args.run_date)
     return {
         "command": "run",
         "run_id": args.run_id,
@@ -136,6 +142,16 @@ def cmd_incremental(args) -> dict:
     )
     write_state(out, args.state, args.run_id, cfg)
     counts = _write_outputs(out, args.out or _default_out(args.state, args.run_id))
+    from .state.cadence import list_runs, record_run_kind
+
+    # accu = incremental whose baseline is the latest FULL run (S9)
+    prior = {r["run_id"]: r for r in list_runs(args.state)}
+    base = prior.get(args.prev_run_id, {})
+    mode = "accu" if base.get("mode") == "full" else "diff"
+    record_run_kind(
+        args.state, args.run_id, mode,
+        prev_run_id=args.prev_run_id, when=args.run_date,
+    )
     return {
         "command": "incremental",
         "run_id": args.run_id,
@@ -144,6 +160,19 @@ def cmd_incremental(args) -> dict:
         **counts,
         **out["incremental"],
     }
+
+
+def cmd_plan(args) -> dict:
+    import datetime
+
+    from .state.cadence import plan_run
+
+    policy = None
+    if args.policy:
+        policy = {int(k): v for k, v in json.loads(args.policy).items()}
+    run_date = args.run_date or datetime.date.today().isoformat()
+    return {"command": "plan", "run_date": str(run_date),
+            **plan_run(args.state, run_date, policy)}
 
 
 def cmd_diff(args) -> dict:
@@ -196,6 +225,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--threshold", type=float, default=None)
         sp.add_argument("--no-salt", action="store_true")
         sp.add_argument("--out", default=None, help="output parquet dir")
+        sp.add_argument(
+            "--run-date", dest="run_date", default=None,
+            help="ISO date recorded in the run's cadence metadata",
+        )
 
     sp = sub.add_parser("run", help="full ER over a pages parquet path")
     sp.add_argument("--input", required=True)
@@ -231,6 +264,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=50)
     common(sp)
     sp.set_defaults(fn=cmd_golden_diff)
+
+    sp = sub.add_parser("plan", help="S9 cadence decision for a run date")
+    sp.add_argument("--run-date", dest="run_date", default=None)
+    sp.add_argument(
+        "--policy", default=None,
+        help='JSON weekday→mode map, e.g. \'{"6": "full", "2": "accu"}\' (Mon=0)',
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_plan)
 
     sp = sub.add_parser("retention", help="prune old run states")
     sp.add_argument("--keep-last", dest="keep_last", type=int, default=3)
