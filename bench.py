@@ -153,6 +153,10 @@ def _run_bench() -> dict:
         "docs_top_tokens",
         "docs_len_quantiles",
         "knn_cosine_ivf",
+        # third-session operators
+        "nation_revenue",
+        "docs_cdc_dedup",
+        "snm_pairs",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

@@ -162,6 +162,19 @@ def cmd_incremental(args) -> dict:
     }
 
 
+def cmd_compact(args) -> dict:
+    from .state.checkpoint import compact_run
+
+    _init_ray(args.num_cpus)
+    rep = compact_run(
+        args.state,
+        args.run_id,
+        rows_per_fragment=args.rows_per_fragment,
+        target_fragments=args.target_fragments,
+    )
+    return {"command": "compact", "run_id": args.run_id, **rep}
+
+
 def cmd_plan(args) -> dict:
     import datetime
 
@@ -264,6 +277,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=50)
     common(sp)
     sp.set_defaults(fn=cmd_golden_diff)
+
+    sp = sub.add_parser(
+        "compact", help="merge a run's small stage fragments (lineage-preserving)"
+    )
+    sp.add_argument("--run-id", dest="run_id", required=True)
+    sp.add_argument("--rows-per-fragment", dest="rows_per_fragment",
+                    type=int, default=500_000)
+    sp.add_argument("--target-fragments", dest="target_fragments",
+                    type=int, default=None)
+    common(sp)
+    sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("plan", help="S9 cadence decision for a run date")
     sp.add_argument("--run-date", dest="run_date", default=None)

@@ -1748,6 +1748,24 @@ def q_er_incremental(sf_dir: str):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def q_docs_cdc_dedup(sf_dir: str):
+    """Chunk-level dedup report via content-defined chunking (FastCDC
+    gear-hash, stages/cdc.py): per document, how many of its rolling-
+    hash-delimited chunks (and bytes) also appear elsewhere in the
+    corpus. Rows-only: a windowed rolling hash is not SQL-expressible;
+    semantics (coverage, bounds, shift resistance, shared-byte
+    accounting) are pinned by tests/test_cdc.py."""
+    from ..stages.cdc import chunk_dedup_stats
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # chunk sizes scaled to the fixture's ~300-byte docs (≈8 chunks/doc);
+    # real web pages would use the module defaults (64/256/1024)
+    return chunk_dedup_stats(
+        docs, id_col="doc_id", text_col="text",
+        min_size=24, avg_bits=5, max_size=256,
+    )
+
+
 def q_pages_media_features(sf_dir: str):
     """Multimodal plumbing: opaque binary payloads through an actor-pool
     decode stage (stub decoder — see stages/media.py; rows-only)."""
@@ -3626,6 +3644,7 @@ QUERIES = {
     "er_golden": q_er_golden,
     "er_incremental": q_er_incremental,
     "pages_media_features": q_pages_media_features,
+    "docs_cdc_dedup": q_docs_cdc_dedup,
 }
 
 ORACLE_SQL = {

@@ -13,6 +13,11 @@ over the ER state store:
 Each published run records its kind in ``<state>/<run_id>/_run.json`` so
 ``resolve_prev`` can pick the right baseline without parsing run ids.
 The planner is pure metadata — O(runs) driver work, no Ray.
+
+Layering note: ``state.checkpoint.cadence_mode`` / ``plan_run`` are the
+STAGE-RESUME half of S9 (does today's run reuse a checkpoint run_id);
+this module is the PUBLISHED-STATE half (which previous run an
+incremental run should base on).
 """
 
 from __future__ import annotations

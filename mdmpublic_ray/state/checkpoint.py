@@ -363,10 +363,12 @@ def apply_retention(
 
 
 def cadence_mode(weekday: int, *, full_day: int = 6) -> str:
-    """Backup-cadence policy (S9; ``cb_backup.py:62-93`` chooses
-    full/diff/accu by day-of-week): one weekly FULL run (fresh run_id —
-    every stage recomputes), DIFF otherwise (same run_id — valid stages
-    skip via their manifests). ``weekday``: 0=Monday … 6=Sunday."""
+    """STAGE-RESUME cadence (S9, checkpoint layer): one weekly FULL run
+    (fresh run_id — every stage recomputes), DIFF otherwise (same run_id
+    — valid stages skip via their manifests). ``weekday``: 0=Monday …
+    6=Sunday. The PUBLISHED-STATE cadence (full/diff/accu baseline
+    selection across runs, ``cb_backup.py:62-93``) lives in
+    ``state/cadence.py``."""
     return "full" if weekday % 7 == full_day else "diff"
 
 
@@ -382,3 +384,129 @@ def plan_run(base_dir: str, date_tag: str, weekday: int, *, full_day: int = 6) -
     if mode == "full" or not existing:
         return {"mode": mode, "run_id": date_tag, "resumed": False}
     return {"mode": mode, "run_id": existing[-1], "resumed": True}
+
+
+def compact_run(
+    base_dir: str,
+    run_id: str,
+    *,
+    stages: list[str] | None = None,
+    rows_per_fragment: int = 500_000,
+    target_fragments: int | None = None,
+) -> dict:
+    """Compact a published run's stage parquet into fewer fragments
+    WITHOUT invalidating resume lineage (the small-files maintenance job:
+    a 64-way shuffle leaves 64+ tiny fragments per stage per run; at real
+    scale that is an object-store listing/metadata tax on every resume —
+    the tar/compress step of the reference's backup writer,
+    ``bash/backup_dir/backup_dir.sh:61-92``, re-expressed).
+
+    For each stage whose fragment count exceeds the target
+    (``target_fragments`` or ceil(rows / rows_per_fragment)): re-read,
+    ``repartition(target)``, write aside, verify the row count, swap the
+    stage directory, and rewrite the manifest with the new fragment list
+    (rows / parents / params_digest preserved). Because downstream
+    manifests record the PARENT MANIFEST FILE's sha256, every rewritten
+    manifest's new digest is then CASCADED: a descendant's recorded
+    parent digest is updated only when it matches the parent's
+    pre-compaction digest — genuinely stale lineage stays stale (the
+    repair must not mask a real invalidation). Crash mid-swap leaves the
+    stage invalid → it simply rebuilds on the next run.
+
+    Returns {stage: {"fragments_before": n, "fragments_after": m}} plus
+    a "cascaded" list of manifests whose lineage digests were updated.
+    """
+    import math
+
+    import ray.data as rd  # noqa: F401  (ensures ray.data import context)
+
+    runner = CheckpointRunner(base_dir, run_id)
+    all_names = runner.stage_names()
+    targets = stages if stages is not None else all_names
+    rewritten: dict[str, tuple[str, str]] = {}  # name -> (old digest, new)
+    report: dict = {}
+
+    for name in targets:
+        sd = runner._stage_dir(name)
+        mp = runner._manifest_path(name)
+        try:
+            with open(mp) as f:
+                man = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        frags = man.get("fragments", [])
+        rows = int(man.get("rows") or 0)
+        if rows == 0 or not frags:
+            continue
+        tgt = (
+            target_fragments
+            if target_fragments is not None
+            else max(1, math.ceil(rows / rows_per_fragment))
+        )
+        if len(frags) <= tgt:
+            continue
+        old_digest = runner.manifest_digest(name)
+        ds = runner._read(sd)
+        tmp = os.path.join(runner.dir, f".compact-{name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.repartition(tgt).write_parquet(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        new_frags = _fragments(tmp)
+        import pyarrow.parquet as pq
+
+        new_rows = sum(
+            pq.read_metadata(os.path.join(tmp, fr["path"])).num_rows
+            for fr in new_frags
+        )
+        if new_rows != rows:  # never swap in a lossy rewrite
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compact_run: stage {name} rewrote {new_rows} rows, expected {rows}"
+            )
+        man["fragments"] = new_frags
+        man["compacted_unix"] = int(time.time())
+        with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+            json.dump(man, f, indent=1, sort_keys=True)
+        metrics = os.path.join(sd, "_metrics.json")
+        if os.path.exists(metrics):
+            shutil.copy2(metrics, os.path.join(tmp, "_metrics.json"))
+        old_sd = sd + ".old"
+        shutil.rmtree(old_sd, ignore_errors=True)
+        os.rename(sd, old_sd)
+        os.rename(tmp, sd)
+        shutil.rmtree(old_sd, ignore_errors=True)
+        rewritten[name] = (old_digest, runner.manifest_digest(name))
+        report[name] = {
+            "fragments_before": len(frags),
+            "fragments_after": len(new_frags),
+        }
+
+    # cascade digest updates through descendants (bounded by DAG depth)
+    cascaded: list[str] = []
+    for _ in range(len(all_names) + 1):
+        changed = False
+        for name in all_names:
+            mp = runner._manifest_path(name)
+            try:
+                with open(mp) as f:
+                    man = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            parents = man.get("parents") or {}
+            upd = False
+            for p, d in parents.items():
+                if p in rewritten and d == rewritten[p][0]:
+                    parents[p] = rewritten[p][1]
+                    upd = True
+            if upd:
+                orig = rewritten.get(name, (runner.manifest_digest(name),))[0]
+                tmp_mp = mp + ".tmp"
+                with open(tmp_mp, "w") as f:
+                    json.dump(man, f, indent=1, sort_keys=True)
+                os.replace(tmp_mp, mp)
+                rewritten[name] = (orig, runner.manifest_digest(name))
+                cascaded.append(name)
+                changed = True
+        if not changed:
+            break
+    return {**report, "cascaded": sorted(set(cascaded))}
