@@ -137,55 +137,43 @@ def cdc_chunks_batch(
 def chunk_dedup_stats(ds, *, id_col: str, text_col: str, n_buckets: int = 64, **chunk_kw):
     """Per-document chunk-level dedup report: (id, n_chunks, n_shared,
     shared_bytes, total_bytes). A chunk is SHARED when its hash appears
-    in more than one (doc, chunk_idx) slot corpus-wide. One
-    hash-partitioned count per chunk_hash, one bucketed join back, one
-    groupby per doc — corpus never materializes anywhere."""
+    in more than one (doc, chunk_idx) slot corpus-wide. Two wide ops
+    total: one bucketed groupby on chunk_hash (every copy of a hash
+    lands in one pandas group, where its multiplicity is known — no
+    separate count shuffle, no join back) and one grouped sum per doc.
+    Corpus rows never materialize on the driver."""
     import functools
 
-    import pyarrow.compute as pc
+    import pandas as pd
 
-    from .util import bucketed_join, partial_sum_groupby
+    from .util import bucketed_map_groups, partial_sum_groupby
 
+    # parquet reads split to cluster-width blocks on their own
+    # (SplitBlocks); the chunking map parallelizes without a repartition
     chunks = ds.map_batches(
         functools.partial(
             cdc_chunks_batch, id_col=id_col, text_col=text_col, **chunk_kw
         ),
         batch_format="pyarrow",
-    ).materialize()  # consumed twice (count side + join side); O(chunks) rows
-
-    counts = partial_sum_groupby(
-        chunks.map_batches(
-            lambda t: pa.table(
-                {
-                    "chunk_hash": t["chunk_hash"],
-                    "one": pa.array(np.ones(len(t), dtype=np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-        ),
-        ["chunk_hash"],
-        {"one": "n_copies"},
-        None,
     )
-    joined = bucketed_join(chunks, counts, "chunk_hash", "chunk_hash",
-                           n_buckets=n_buckets)
 
-    def per_doc(t: pa.Table) -> pa.Table:
-        shared = pc.greater(t["n_copies"], 1)
-        return pa.table(
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("chunk_hash", sort=False)["chunk_hash"].transform("size")
+        shared = (sizes > 1).to_numpy()
+        cl = df["chunk_len"].to_numpy()
+        return pd.DataFrame(
             {
-                id_col: t[id_col],
-                "one": pa.array(np.ones(len(t), dtype=np.int64)),
-                "is_shared": pc.cast(shared, pa.int64()),
-                "shared_bytes": pc.if_else(
-                    shared, t["chunk_len"], pa.scalar(0, pa.int64())
-                ),
-                "total_bytes": t["chunk_len"],
+                id_col: df[id_col].to_numpy(),
+                "one": np.ones(len(df), dtype=np.int64),
+                "is_shared": shared.astype(np.int64),
+                "shared_bytes": np.where(shared, cl, 0).astype(np.int64),
+                "total_bytes": cl,
             }
         )
 
+    marked = bucketed_map_groups(chunks, "chunk_hash", mark, n_buckets=n_buckets)
     return partial_sum_groupby(
-        joined.map_batches(per_doc, batch_format="pyarrow"),
+        marked,
         [id_col],
         {
             "one": "n_chunks",
