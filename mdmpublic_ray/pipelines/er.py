@@ -504,3 +504,97 @@ def blocking_metrics(
         "pair_completeness": (n_hit / n_true) if n_true else 1.0,
         "pair_quality": (n_hit / n_candidates) if n_candidates else 1.0,
     }
+
+
+def threshold_sweep(scored_ds, labels_ds, thresholds, *, num_partitions=None):
+    """Match-threshold tuning curve: pairwise tp/fp/fn/tn + P/R/F1 at
+    each candidate threshold, against labeled pairs — the knob-setting
+    workflow behind ``ERConfig.threshold`` (the reference tunes its
+    matcher per tenant; SURVEY.md §2.5 A10 is the single-point version).
+
+    Labeled pairs that were never scored (blocking misses) count as
+    non-matches at EVERY threshold — the sweep reflects end-to-end
+    recall, not just scorer recall. Distributed: both sides key on the
+    order-normalized url pair, one left bucketed join, then every
+    threshold's four counters are computed per batch and summed in one
+    aggregate — |thresholds| × 4 numbers reach the driver, never pairs.
+
+    Returns a pandas DataFrame (threshold, tp, fp, fn, tn, precision,
+    recall, f1) sorted by threshold.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.util import bucketed_join, default_partitions
+
+    num_partitions = num_partitions or default_partitions()
+    thr = sorted(float(t) for t in thresholds)
+
+    def key_pair(a, b):
+        lo = pc.if_else(pc.less(a, b), a, b)
+        hi = pc.if_else(pc.less(a, b), b, a)
+        return pc.binary_join_element_wise(lo, hi, "\x1f")
+
+    lab = labels_ds.map_batches(
+        lambda t: pa.table(
+            {"pk": key_pair(t["url_a"], t["url_b"]), "is_match": t["is_match"]}
+        ),
+        batch_format="pyarrow",
+    )
+    sc = scored_ds.map_batches(
+        lambda t: pa.table(
+            {"pk_s": key_pair(t["url_a"], t["url_b"]), "score": t["score"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j = bucketed_join(lab, sc, "pk", "pk_s", how="left", n_buckets=num_partitions)
+
+    def counters(t: pa.Table) -> pa.Table:
+        score = t["score"].to_numpy(zero_copy_only=False).astype("float64")
+        score = np.where(np.isnan(score), -np.inf, score)  # unscored pair
+        actual = t["is_match"].to_numpy(zero_copy_only=False).astype(bool)
+        rows = []
+        for x in thr:
+            pred = score >= x
+            rows.append(
+                (
+                    x,
+                    int((pred & actual).sum()),
+                    int((pred & ~actual).sum()),
+                    int((~pred & actual).sum()),
+                    int((~pred & ~actual).sum()),
+                )
+            )
+        return pa.table(
+            {
+                "threshold": pa.array([r[0] for r in rows], pa.float64()),
+                "tp": pa.array([r[1] for r in rows], pa.int64()),
+                "fp": pa.array([r[2] for r in rows], pa.int64()),
+                "fn": pa.array([r[3] for r in rows], pa.int64()),
+                "tn": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        j.map_batches(counters, batch_format="pyarrow")
+        .groupby("threshold")
+        .aggregate(
+            Sum("tp", alias_name="tp"),
+            Sum("fp", alias_name="fp"),
+            Sum("fn", alias_name="fn"),
+            Sum("tn", alias_name="tn"),
+        )
+        .to_pandas()
+        .sort_values("threshold")
+        .reset_index(drop=True)
+    )
+    p = agg["tp"] / (agg["tp"] + agg["fp"]).replace(0, np.nan)
+    r = agg["tp"] / (agg["tp"] + agg["fn"]).replace(0, np.nan)
+    agg["precision"] = p.fillna(1.0)
+    agg["recall"] = r.fillna(1.0)
+    f1 = 2 * agg["precision"] * agg["recall"] / (agg["precision"] + agg["recall"])
+    agg["f1"] = f1.fillna(0.0)
+    return agg

@@ -161,3 +161,23 @@ def test_snm_pass_superset_and_f1(ray_session, corpus_dir, er_result):
     labels = rd.read_parquet(f"{corpus_dir}/labels.parquet")
     m = pairwise_metrics(out["clusters"], labels)
     assert m["f1"] >= 0.99
+
+
+def test_threshold_sweep(er_result):
+    """Tuning curve: exact counter accounting at every threshold, perfect
+    F1 at the shipped threshold on the planted corpus, monotone recall."""
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er import threshold_sweep
+
+    out, corpus_dir = er_result
+    labels = rd.read_parquet(f"{corpus_dir}/labels.parquet")
+    sw = threshold_sweep(out["scored"], labels, [0.1, 0.35, 0.9])
+    assert list(sw["threshold"]) == [0.1, 0.35, 0.9]
+    assert sw.loc[sw.threshold == 0.35, "f1"].iloc[0] == 1.0
+    # every labeled pair is accounted for at every threshold
+    n = labels.count()
+    assert ((sw.tp + sw.fp + sw.fn + sw.tn) == n).all()
+    # raising the threshold can only lose matches
+    assert sw["recall"].is_monotonic_decreasing
+    assert sw["tn"].is_monotonic_increasing
