@@ -598,3 +598,75 @@ def threshold_sweep(scored_ds, labels_ds, thresholds, *, num_partitions=None):
     f1 = 2 * agg["precision"] * agg["recall"] / (agg["precision"] + agg["recall"])
     agg["f1"] = f1.fillna(0.0)
     return agg
+
+
+def bcubed_metrics(clusters_ds, truth_ds, *, num_partitions=None) -> dict:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of predicted
+    clusters against per-url true cluster ids — the item-weighted
+    companion to :func:`pairwise_metrics` (pairwise over-weights big
+    clusters quadratically; B³ weights every RECORD equally, so a
+    shattered giant cluster and a shattered small one cost what they
+    should).
+
+        precision = (1/N) Σ_i |C(i) ∩ T(i)| / |C(i)|
+        recall    = (1/N) Σ_i |C(i) ∩ T(i)| / |T(i)|
+
+    Computed distributed via the standard contingency identity:
+    Σ_i |C(i) ∩ T(i)|/|C(i)| = Σ_{c,t} n_ct² / n_c — one url join, three
+    map-side-combined counts, two bucketed joins of count tables, one
+    global sum; only the final scalars reach the driver.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.util import bucketed_join, default_partitions, partial_sum_groupby
+
+    num_partitions = num_partitions or default_partitions()
+    pred = clusters_ds.map_batches(
+        lambda t: pa.table({"url_p": t["url"], "cid": t["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+    tru = truth_ds.map_batches(
+        lambda t: pa.table({"url": t["url"], "tid": t["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+    both = bucketed_join(tru, pred, "url", "url_p", n_buckets=num_partitions)
+
+    def one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        )
+
+    both = both.map_batches(one, batch_format="pyarrow").materialize()
+    ct = partial_sum_groupby(both, ["cid", "tid"], {"one": "n_ct"}, None)
+    nc = partial_sum_groupby(both, ["cid"], {"one": "n_c"}, None)
+    nt = partial_sum_groupby(both, ["tid"], {"one": "n_t"}, None)
+    j = bucketed_join(ct, nc, "cid", "cid", n_buckets=num_partitions)
+    j = bucketed_join(j, nt, "tid", "tid", n_buckets=num_partitions)
+
+    def terms(t: pa.Table) -> pa.Table:
+        n_ct = t["n_ct"].to_numpy(zero_copy_only=False).astype("float64")
+        n_c = t["n_c"].to_numpy(zero_copy_only=False).astype("float64")
+        n_t = t["n_t"].to_numpy(zero_copy_only=False).astype("float64")
+        return pa.table(
+            {
+                "p_num": pa.array(n_ct * n_ct / n_c),
+                "r_num": pa.array(n_ct * n_ct / n_t),
+                "n": pa.array(n_ct.astype("int64")),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = j.map_batches(terms, batch_format="pyarrow").aggregate(
+        Sum("p_num", alias_name="p_num"),
+        Sum("r_num", alias_name="r_num"),
+        Sum("n", alias_name="n"),
+    )
+    n = agg["n"] or 0
+    if n == 0:
+        return {"n": 0, "precision": 1.0, "recall": 1.0, "f1": 1.0}
+    p = agg["p_num"] / n
+    r = agg["r_num"] / n
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"n": int(n), "precision": p, "recall": r, "f1": f1}

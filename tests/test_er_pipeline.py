@@ -181,3 +181,29 @@ def test_threshold_sweep(er_result):
     # raising the threshold can only lose matches
     assert sw["recall"].is_monotonic_decreasing
     assert sw["tn"].is_monotonic_increasing
+
+
+def test_bcubed_metrics(er_result, ray_session):
+    """B³ = 1.0 on the planted corpus; known fractional values on a
+    hand-built misclustering (truth {a,b},{c}; predicted {a},{b,c})."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er import bcubed_metrics
+
+    out, corpus_dir = er_result
+    truth = rd.read_parquet(f"{corpus_dir}/truth.parquet")
+    m = bcubed_metrics(out["clusters"], truth)
+    assert m["precision"] == 1.0 and m["recall"] == 1.0 and m["f1"] == 1.0
+    assert m["n"] == truth.count()
+
+    pred = rd.from_arrow(pa.table(
+        {"url": ["a", "b", "c"], "cluster_id": ["1", "2", "2"]}
+    ))
+    tru = rd.from_arrow(pa.table(
+        {"url": ["a", "b", "c"], "cluster_id": ["x", "x", "y"]}
+    ))
+    m = bcubed_metrics(pred, tru, num_partitions=4)
+    assert abs(m["precision"] - 2 / 3) < 1e-12
+    assert abs(m["recall"] - 2 / 3) < 1e-12
+    assert m["n"] == 3
