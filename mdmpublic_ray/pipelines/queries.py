@@ -1748,6 +1748,20 @@ def q_er_incremental(sf_dir: str):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def q_embeddings_kmeans(sf_dir: str):
+    """Full-corpus distributed Lloyd k-means over the embeddings table
+    (iterative-algorithm family beside the sample-trained IVF quantizer):
+    per-iteration broadcast centroids + per-batch (cent, dim) partial
+    sums, k×(d+1) rows per batch — the corpus never leaves the workers.
+    Rows-only (float argmax isn't SQL-reproducible); the planted-label
+    recovery contract is tests/test_ann.py::test_distributed_kmeans."""
+    from ..stages.ann import distributed_kmeans
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigns, _ = distributed_kmeans(ds, k=5, n_iters=4)
+    return assigns
+
+
 def q_docs_cdc_dedup(sf_dir: str):
     """Chunk-level dedup report via content-defined chunking (FastCDC
     gear-hash, stages/cdc.py): per document, how many of its rolling-
@@ -3645,6 +3659,7 @@ QUERIES = {
     "er_incremental": q_er_incremental,
     "pages_media_features": q_pages_media_features,
     "docs_cdc_dedup": q_docs_cdc_dedup,
+    "embeddings_kmeans": q_embeddings_kmeans,
 }
 
 ORACLE_SQL = {

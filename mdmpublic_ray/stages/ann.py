@@ -455,3 +455,103 @@ def lsh_buckets(sf_dir: str, *, n_bits: int = 8, dim: int | None = None, seed: i
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+def maximin_init(m: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic farthest-point (Gonzalez) seeding over normalized
+    rows: start at row 0 (smallest vec_id by construction), then
+    repeatedly add the row with the LOWEST maximum cosine to the chosen
+    set — seeds land in distinct clusters whenever clusters are
+    separated, which naive first-k seeding does not guarantee."""
+    chosen = [0]
+    best = m @ m[0]
+    for _ in range(1, min(k, len(m))):
+        nxt = int(np.argmin(best))
+        chosen.append(nxt)
+        best = np.maximum(best, m @ m[nxt])
+    return m[chosen].copy()
+
+
+def distributed_kmeans(ds, *, k: int = 8, n_iters: int = 5):
+    """Full-corpus spherical k-means (Lloyd): unlike the sample-trained
+    coarse quantizer above (`_kmeans_centroids` — the FAISS shape), every
+    iteration's update uses EVERY vector, computed distributed:
+
+      assignment  map_batches: per-batch argmax against the broadcast
+                  centroid matrix (one ray.put per iteration)
+      update      per-batch partial sums emitted as (cent, dim, s) rows —
+                  k×(d+1) rows per batch regardless of batch size — then
+                  one map-side-combined grouped sum; the driver only ever
+                  sees the k×d centroid matrix
+
+    Deterministic: init = farthest-point seeding (:func:`maximin_init`)
+    over the 1024 smallest vec_ids' vectors; float partial
+    sums are order-dependent at ~1e-16, which assignment argmax tolerates
+    for separated clusters (the tested contract). Empty centroids keep
+    their previous position. Returns (assignments_ds(vec_id, centroid_id),
+    centroids ndarray) — assignments are computed lazily from the final
+    centroids."""
+    import ray
+
+    from .util import partial_sum_groupby
+
+    ds = ds.select_columns(["vec_id", "embedding"]).materialize()  # re-read per iter
+    sample = ds.sort("vec_id").limit(max(k, 1024)).to_pandas()
+    sm = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    cents = maximin_init(sm, k)
+    k = cents.shape[0]
+    d = cents.shape[1]
+
+    for _ in range(n_iters):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _normalize(_embedding_matrix(t)).astype(np.float64)
+            a = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros((k, d), dtype=np.float64)
+            for j in range(k):
+                sel = m[a == j]
+                if len(sel):
+                    sums[j] = sel.sum(axis=0)
+            counts = np.bincount(a, minlength=k).astype(np.float64)
+            cent_col = np.repeat(np.arange(k, dtype=np.int64), d + 1)
+            dim_col = np.tile(np.arange(-1, d, dtype=np.int64), k)
+            s_col = np.concatenate(
+                [np.concatenate(([counts[j]], sums[j])) for j in range(k)]
+            )
+            return pa.table(
+                {"cent": pa.array(cent_col), "dim": pa.array(dim_col),
+                 "s": pa.array(s_col)}
+            )
+
+        agg = partial_sum_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["cent", "dim"],
+            {"s": "s"},
+            None,
+        ).to_pandas()
+        new = cents.copy()
+        for j in range(k):
+            rows = agg[agg["cent"] == j].sort_values("dim")
+            cnt = float(rows[rows["dim"] == -1]["s"].iloc[0])
+            if cnt > 0:
+                vec = rows[rows["dim"] >= 0]["s"].to_numpy()
+                nrm = np.linalg.norm(vec)
+                if nrm > 0:
+                    new[j] = vec / nrm
+        cents = new
+
+    final_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        m = _normalize(_embedding_matrix(t)).astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "centroid_id": pa.array(np.argmax(m @ c.T, axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow"), cents

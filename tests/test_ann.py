@@ -108,3 +108,55 @@ def test_ivf_knn_is_deterministic(ray_session):
         ["query_vec_id", "rank"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_distributed_kmeans(ray_session):
+    """Full-corpus Lloyd: on planted well-separated clusters the
+    distributed implementation recovers the structure exactly and
+    matches a local numpy Lloyd with the same deterministic init."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.stages.ann import distributed_kmeans
+
+    rng = np.random.default_rng(11)
+    k, per, d = 3, 60, 16
+    centers = np.eye(k, d) * 10.0
+    vecs = np.concatenate(
+        [centers[j] + 0.05 * rng.standard_normal((per, d)) for j in range(k)]
+    ).astype(np.float32)
+    truth = np.repeat(np.arange(k), per)
+    ids = np.arange(k * per, dtype=np.int64)
+    tbl = pa.table({"vec_id": ids, "embedding": [v for v in vecs]})
+    ds = rd.from_arrow(tbl).repartition(6)
+
+    assigns, cents = distributed_kmeans(ds, k=k, n_iters=4)
+    a = assigns.to_pandas().sort_values("vec_id")["centroid_id"].to_numpy()
+    # perfect recovery: bijection between found centroids and truth
+    import pandas as pd
+
+    j = pd.DataFrame({"t": truth, "c": a})
+    assert (j.groupby("t")["c"].nunique() == 1).all()
+    assert j.groupby("c")["t"].nunique().le(1).all()
+
+    # local reference with the identical init (maximin over smallest ids)
+    from mdmpublic_ray.stages.ann import maximin_init
+
+    m = vecs.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    c_ref = maximin_init(m, k)
+    for _ in range(4):
+        lab = np.argmax(m @ c_ref.T, axis=1)
+        for jj in range(k):
+            sel = m[lab == jj]
+            if len(sel):
+                v = sel.sum(0)
+                c_ref[jj] = v / np.linalg.norm(v)
+    assert np.array_equal(a, np.argmax(m @ c_ref.T, axis=1))
+    assert np.allclose(cents, c_ref, atol=1e-9)
+
+    # determinism across runs
+    a2 = distributed_kmeans(ds, k=k, n_iters=4)[0].to_pandas()
+    a2 = a2.sort_values("vec_id")["centroid_id"].to_numpy()
+    assert np.array_equal(a, a2)
