@@ -184,6 +184,65 @@ FROM sess GROUP BY user_id, session_no
 """
 
 
+def q_session_stats(sf_dir: str):
+    """Per-user session rollup COMPOSED on the sessionization operator
+    (operator composition is the conformance point: the session table is
+    itself a distributed result): exact integer sums via map-side
+    combine, then two safe float divisions (IEEE division of exact ints
+    is bit-reproducible across engines; float SUMS are not, which is why
+    the sums happen in int64)."""
+    sessions = q_user_sessions(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_events": t["n_events"],
+                "dur_us": pc.subtract(t["session_end_us"], t["session_start_us"]),
+            }
+        )
+
+    agg = partial_sum_groupby(
+        sessions.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        {"one": "n_sessions", "n_events": "total_events", "dur_us": "total_dur_us"},
+        None,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = pc.cast(t["n_sessions"], pa.float64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_sessions": t["n_sessions"],
+                "total_events": t["total_events"],
+                "total_dur_us": t["total_dur_us"],
+                "avg_session_events": pc.divide(
+                    pc.cast(t["total_events"], pa.float64()), ns
+                ),
+                "avg_session_dur_us": pc.divide(
+                    pc.cast(t["total_dur_us"], pa.float64()), ns
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SESSION_STATS = f"""
+WITH sessions AS ({SQL_SESSIONS})
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(SUM(session_end_us - session_start_us) AS BIGINT) AS total_dur_us,
+       CAST(SUM(n_events) AS BIGINT) * 1.0 / COUNT(*) AS avg_session_events,
+       CAST(SUM(session_end_us - session_start_us) AS BIGINT) * 1.0 / COUNT(*)
+         AS avg_session_dur_us
+FROM sessions GROUP BY user_id
+"""
+
+
 def q_events_json_k(sf_dir: str):
     """JSON field pluck (json family §2.8; dump_db_summary.sh:44-48 json
     projection analog) from the ``props`` JSON-string column."""
@@ -3572,6 +3631,7 @@ QUERIES = {
     "filter_project_lineitem": q_filter_project_lineitem,
     "top_event_gaps": q_top_event_gaps,
     "user_sessions": q_user_sessions,
+    "session_stats": q_session_stats,
     "events_json_k": q_events_json_k,
     "latest_event_per_user": q_latest_event_per_user,
     "event_type_stats": q_event_type_stats,
@@ -3667,6 +3727,7 @@ ORACLE_SQL = {
     "filter_project_lineitem": SQL_FILTER_PROJECT,
     "top_event_gaps": SQL_TOP_GAPS,
     "user_sessions": SQL_SESSIONS,
+    "session_stats": SQL_SESSION_STATS,
     "events_json_k": SQL_JSON_K,
     "latest_event_per_user": SQL_LATEST_EVENT,
     "event_type_stats": SQL_EVENT_TYPE_STATS,
