@@ -2990,6 +2990,42 @@ GROUP BY tok ORDER BY n DESC, tok LIMIT {_TOP_TOKENS_K}
 """
 
 
+def q_docs_top_bigrams(sf_dir: str):
+    """Global top-k BIGRAMS (the n-gram counting family one step up from
+    ``docs_top_tokens``; collocation/boilerplate discovery). Per batch:
+    tokens exploded once, the consecutive-pair join is a grouped shift
+    (C-level pandas), counts collapsed map-side to distinct bigrams
+    before the shuffle. Oracle pairs adjacent tokens positionally via
+    list_transform over generate_series."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+").explode()
+        nxt = toks.groupby(level=0).shift(-1)
+        vc = (toks + " " + nxt).dropna().value_counts()
+        return pd.DataFrame({"bigram": vc.index, "n": vc.to_numpy().astype("int64")})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(_TOP_TOKENS_K)
+
+
+def _sql_docs_top_bigrams() -> str:
+    return f"""
+WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents),
+bi AS (SELECT unnest(list_transform(generate_series(1, len(l)-1),
+                                    i -> l[i] || ' ' || l[i+1])) AS bigram
+       FROM toks)
+SELECT bigram, COUNT(*) AS n
+FROM bi GROUP BY bigram ORDER BY n DESC, bigram LIMIT {_TOP_TOKENS_K}
+"""
+
+
 _RARE_TERMS_K = 3
 
 
@@ -3694,6 +3730,7 @@ QUERIES = {
     "events_weekday_sample": q_events_weekday_sample,
     "docs_mixture_sample": q_docs_mixture_sample,
     "docs_top_tokens": q_docs_top_tokens,
+    "docs_top_bigrams": q_docs_top_bigrams,
     "docs_top_tokens_mg": q_docs_top_tokens_mg,
     "docs_rare_terms": q_docs_rare_terms,
     "docs_len_quantiles": q_docs_len_quantiles,
@@ -3790,6 +3827,7 @@ ORACLE_SQL = {
     "events_weekday_sample": SQL_EVENTS_WEEKDAY_SAMPLE,
     "docs_mixture_sample": _sql_docs_mixture_sample(),
     "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
+    "docs_top_bigrams": _sql_docs_top_bigrams(),
     "docs_rare_terms": SQL_DOCS_RARE_TERMS,
     "docs_len_quantiles": SQL_DOCS_LEN_QUANTILES,
     "docs_len_quantiles_by_lang": SQL_DOCS_LEN_QUANTILES_BY_LANG,
