@@ -670,3 +670,33 @@ def bcubed_metrics(clusters_ds, truth_ds, *, num_partitions=None) -> dict:
     r = agg["r_num"] / n
     f1 = 2 * p * r / (p + r) if (p + r) else 0.0
     return {"n": int(n), "precision": p, "recall": r, "f1": f1}
+
+
+def uncertain_pairs(scored_ds, *, threshold: float, margin: float = 0.05, k: int = 100):
+    """Active-learning labeling queue: the candidate pairs whose scores
+    sit closest to the match threshold — exactly the pairs where a human
+    label buys the most model improvement (the MDM adjudication loop;
+    the reference's manual master-record review is the same workflow).
+    Filter to |score − threshold| ≤ margin (map, streams at any scale),
+    then a global top-k by closeness under a TOTAL order (distance,
+    url_a, url_b) so the queue is deterministic. Returns at most ``k``
+    rows: (url_a, url_b, score, dist)."""
+    import pyarrow.compute as pc
+
+    def pick(t: pa.Table) -> pa.Table:
+        d = pc.abs(pc.subtract(t["score"], threshold))
+        t = pa.table(
+            {
+                "url_a": t["url_a"],
+                "url_b": t["url_b"],
+                "score": t["score"],
+                "dist": d,
+            }
+        )
+        return t.filter(pc.less_equal(t["dist"], margin))
+
+    return (
+        scored_ds.map_batches(pick, batch_format="pyarrow")
+        .sort(["dist", "url_a", "url_b"])
+        .limit(k)
+    )

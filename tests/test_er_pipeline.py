@@ -207,3 +207,18 @@ def test_bcubed_metrics(er_result, ray_session):
     assert abs(m["precision"] - 2 / 3) < 1e-12
     assert abs(m["recall"] - 2 / 3) < 1e-12
     assert m["n"] == 3
+
+
+def test_uncertain_pairs(er_result):
+    """Labeling queue: bounded, inside the margin, deterministic order."""
+    from mdmpublic_ray.pipelines.er import ERConfig, uncertain_pairs
+
+    out, _ = er_result
+    thr = ERConfig().threshold
+    q = uncertain_pairs(out["scored"], threshold=thr, margin=0.2, k=25).to_pandas()
+    assert 0 < len(q) <= 25
+    assert (q["dist"] <= 0.2).all()
+    assert (q["dist"].to_numpy() == abs(q["score"].to_numpy() - thr)).all()
+    assert q["dist"].is_monotonic_increasing
+    q2 = uncertain_pairs(out["scored"], threshold=thr, margin=0.2, k=25).to_pandas()
+    assert q.equals(q2)
