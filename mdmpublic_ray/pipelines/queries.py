@@ -3520,6 +3520,103 @@ FROM p e1 JOIN p e2 ON e2.a = e1.b JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered-sequence funnel (sequence-analytics family): of the users
+    who ever signed up, how many later viewed, and of those how many
+    later purchased — each step strictly AFTER the previous step's first
+    occurrence (first-touch chaining). Per-user work is three
+    ``searchsorted`` probes over that user's sorted timestamps; one
+    hash partition by user, then a 3-number global sum."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        et = g["event_type"].to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts, et = ts[order], et[order]
+        s = ts[et == "signup"]
+        if not s.size:
+            return pd.DataFrame(
+                {"n_signup": [0], "n_view": [0], "n_purchase": [0]}
+            ).astype("int64")
+        t1 = s[0]
+        v = ts[(et == "view") & (ts > t1)]
+        if not v.size:
+            return pd.DataFrame(
+                {"n_signup": [1], "n_view": [0], "n_purchase": [0]}
+            ).astype("int64")
+        t2 = v[0]
+        p = ts[(et == "purchase") & (ts > t2)]
+        return pd.DataFrame(
+            {"n_signup": [1], "n_view": [1], "n_purchase": [int(p.size > 0)]}
+        ).astype("int64")
+
+    from ray.data.aggregate import Sum
+
+    per_user = ds.groupby("user_id").map_groups(chain, batch_format="pandas")
+    agg = per_user.aggregate(
+        Sum("n_signup", alias_name="n_signup"),
+        Sum("n_view", alias_name="n_view"),
+        Sum("n_purchase", alias_name="n_purchase"),
+    )
+    return pa.table(
+        {
+            "n_signup": pa.array([agg["n_signup"]], pa.int64()),
+            "n_view": pa.array([agg["n_view"]], pa.int64()),
+            "n_purchase": pa.array([agg["n_purchase"]], pa.int64()),
+        }
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH s AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s.t1 GROUP BY e.user_id),
+p AS (SELECT DISTINCT e.user_id FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t2)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type transition counts (Markov-chain family): how
+    often type A is immediately followed by type B in a user's timeline
+    (order pinned by (ts, event_id)). Grouped shift inside one hash
+    partition by user; map-side combined counts."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        prev = g["event_type"].shift(1)
+        d = pd.DataFrame({"prev_type": prev, "event_type": g["event_type"]}).dropna()
+        vc = d.value_counts()
+        out = vc.reset_index()
+        out.columns = ["prev_type", "event_type", "n"]
+        return out.astype({"n": "int64"})
+
+    return partial_sum_groupby(
+        ds.groupby("user_id").map_groups(trans, batch_format="pandas"),
+        ["prev_type", "event_type"],
+        {"n": "n"},
+        None,
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events)
+SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 def q_nation_revenue(sf_dir: str):
     """Multi-way join chain (TPC-H Q5 shape): customer ⋈ orders ⋈
     lineitem ⋈ supplier ⋈ nation ⋈ region, local-supplier predicate
@@ -3743,6 +3840,8 @@ QUERIES = {
     "snm_pairs": q_snm_pairs,
     "purchase_error_context": q_purchase_error_context,
     "nation_revenue": q_nation_revenue,
+    "event_funnel": q_event_funnel,
+    "event_transitions": q_event_transitions,
     "doc_triangles": q_doc_triangles,
     # rows-only (no SQL oracle)
     "knn_cosine_lsh": q_knn_cosine_lsh,
@@ -3838,5 +3937,7 @@ ORACLE_SQL = {
     "snm_pairs": SQL_SNM_PAIRS,
     "purchase_error_context": SQL_PURCHASE_ERROR_CONTEXT,
     "nation_revenue": SQL_NATION_REVENUE,
+    "event_funnel": SQL_EVENT_FUNNEL,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     "doc_triangles": SQL_DOC_TRIANGLES,
 }
