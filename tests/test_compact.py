@@ -88,10 +88,8 @@ def test_compact_does_not_repair_stale_lineage(ray_session, tmp_path):
         parents=("a",),
         params={"q": 2},
     )
-    # a compacted+valid, but b's stale lineage still forces a rebuild —
-    # wait: compacting a rewrote a's manifest, so even a correct b would
-    # rebuild IF its digest didn't cascade; the point here is the stale
-    # digest was left untouched (not silently repaired to valid)
+    # the pre-corrupted digest must NOT have been rewritten to a's new
+    # digest during the cascade — b stays invalid and rebuilds
     assert "b" in ck2.ran and ran == ["b"]
 
 
@@ -116,3 +114,18 @@ def test_compact_full_er_state_resume(ray_session, corpus_dir, tmp_path):
         g1[key].sort_values(key).reset_index(drop=True)
         .equals(g2[key].sort_values(key).reset_index(drop=True))
     )
+
+
+def test_compact_cli(ray_session, tmp_path, capsys):
+    """CLI path: `compact --run-id` reports fragment reduction as JSON."""
+    from mdmpublic_ray.cli import build_parser
+
+    _build(tmp_path, "r9")
+    args = build_parser().parse_args(
+        ["compact", "--state", str(tmp_path), "--run-id", "r9",
+         "--target-fragments", "2"]
+    )
+    out = args.fn(args)
+    assert out["command"] == "compact" and out["run_id"] == "r9"
+    assert out["a"]["fragments_before"] == 16
+    assert out["a"]["fragments_after"] <= 2
