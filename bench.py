@@ -157,6 +157,8 @@ def _run_bench() -> dict:
         "nation_revenue",
         "docs_cdc_dedup",
         "snm_pairs",
+        "event_funnel",
+        "event_transitions",
     ]
     for name in bench_queries:
         t0 = time.monotonic()
