@@ -42,7 +42,12 @@ Equivalence: with deterministic scoring, an unchanged hot-host set and no
 block-size-cap crossings, the incremental result EQUALS ``run_er`` over
 (previous corpus + delta) — asserted by ``tests/test_er_incremental.py``.
 The excluded cases are exactly where a full periodic re-run (the FULL leg
-of the backup cadence) re-syncs the state.
+of the backup cadence) re-syncs the state. The sorted-neighborhood
+blocking pass (``ERConfig.snm_window >= 2``) is one of them BY
+CONSTRUCTION: SNM pairs depend on each row's neighbors in the GLOBAL
+(title, uid) sort order, which a delta cannot know without re-sorting the
+corpus — so ``run_er_incremental`` refuses such configs loudly (and the
+pairs-stage param digest check catches a state built with SNM on).
 
 Scale shape: the corpus is only ever touched by embarrassingly-parallel
 map scans over the columnar checkpoints (broadcast-filter via ``ray.put``
@@ -251,6 +256,10 @@ def _stage_params(cfg: ERConfig) -> dict[str, dict]:
             "max_block_size": cfg.max_block_size,
             "salt_hot_hosts": cfg.salt_hot_hosts,
         },
+        # must mirror run_er's pairs-stage record exactly (digest compare):
+        # catches a state built with snm_window >= 2, which the delta path
+        # cannot reproduce (see module docstring).
+        "pairs": {"max_block_size": cfg.max_block_size, "snm_window": cfg.snm_window},
         "scored": {"threshold": cfg.threshold},
     }
 
@@ -315,7 +324,7 @@ def _check_cfg_compat(prev: CheckpointRunner, cfg: ERConfig) -> None:
         raise ValueError(
             f"ERConfig mismatch vs previous state for stages {mismatched}: "
             "the incremental run must use the same seed / max_block_size / "
-            "salt_hot_hosts / threshold the state was built with"
+            "salt_hot_hosts / snm_window / threshold the state was built with"
         )
 
 
@@ -350,6 +359,14 @@ def run_er_incremental(
     from ..stages.util import default_partitions
 
     cfg = cfg or ERConfig()
+    if cfg.snm_window >= 2:
+        raise ValueError(
+            "run_er_incremental does not support ERConfig.snm_window >= 2: "
+            "sorted-neighborhood pairs depend on the GLOBAL (title, uid) "
+            "sort order, which a delta cannot reproduce without re-sorting "
+            "the corpus — run the full pipeline for SNM configs (see module "
+            "docstring, excluded cases)"
+        )
     if cfg.num_partitions is None:
         cfg.num_partitions = default_partitions()
 

@@ -178,7 +178,12 @@ def bucketed_join(
         raise ValueError("hot_keys salting supports how='inner'/'left' only")
     if hotset and hot_salt < 2:
         raise ValueError("hot_salt must be >= 2")
-    _GOLD = np.uint32(2654435761)  # Knuth multiplicative spread for sub-buckets
+    # Sub-buckets use (base + sub) % n_buckets with sub in [0, hot_salt):
+    # consecutive residues are guaranteed distinct as long as
+    # hot_salt <= n_buckets, so no two replicas of one hot right row can
+    # land in the same bucket (a multiplicative spread like sub*GOLD can
+    # collide mod n_buckets and would duplicate joined rows).
+    hot_salt = min(hot_salt, n_buckets)
 
     lschema = left.schema()  # ray.data Schema wrapper: .names + .types
     rschema = right.schema()
@@ -219,7 +224,7 @@ def bucketed_join(
                     # (any assignment is correct: every sub-bucket holds
                     # all hot right rows)
                     sub = (np.arange(n, dtype=np.uint32) % np.uint32(hot_salt))
-                    b = np.where(hot, (base + sub * _GOLD), base) % np.uint32(n_buckets)
+                    b = np.where(hot, (base + sub), base) % np.uint32(n_buckets)
                     return t.append_column("_bucket", _pa.array(b.astype(np.int32)))
                 # replicate hot right rows into every sub-bucket
                 cold_idx = np.nonzero(~hot)[0]
@@ -236,7 +241,7 @@ def bucketed_join(
                         np.arange(hot_salt, dtype=np.uint32), len(hot_idx)
                     )
                     b_hot = (
-                        (np.repeat(base[hot_idx], hot_salt) + sub * _GOLD)
+                        (np.repeat(base[hot_idx], hot_salt) + sub)
                         % np.uint32(n_buckets)
                     ).astype(np.int32)
                     parts.append(

@@ -101,11 +101,14 @@ def list_runs(state_dir: str) -> list[dict]:
                     meta.update(json.load(f))
             except (OSError, json.JSONDecodeError):
                 pass
+        # Tie-break same-day runs by NUMERIC mtime: stringified floats
+        # compare lexicographically ("9.5" > "10.5") and would misorder
+        # the baselines resolve_prev() depends on.
         mtime = os.path.getmtime(run_dir)
         key = (
-            (meta["when"], str(mtime))
+            (meta["when"], mtime)
             if meta.get("when")
-            else (_dt.date.fromtimestamp(mtime).isoformat(), str(mtime))
+            else (_dt.date.fromtimestamp(mtime).isoformat(), mtime)
         )
         out.append({**meta, "_sort": key})
     out.sort(key=lambda m: m["_sort"])

@@ -57,6 +57,22 @@ def test_resolve_prev_and_plan(tmp_path):
     assert resolve_prev(str(state), "accu") == "day7"
 
 
+def test_same_day_runs_order_by_numeric_mtime(tmp_path):
+    """Two runs stamped the same day must tie-break by NUMERIC mtime:
+    stringified floats compare lexicographically ("1755500000.5" sorts
+    before "955500000.5") and would hand resolve_prev the older run."""
+    import os
+
+    state = tmp_path / "state"
+    _publish(state, "morning", "full", "2026-08-18")
+    _publish(state, "evening", "diff", "2026-08-18", prev="morning")
+    # mtimes chosen so str() ordering inverts numeric ordering
+    os.utime(state / "morning", (955500000.5, 955500000.5))
+    os.utime(state / "evening", (1755500000.5, 1755500000.5))
+    assert [r["run_id"] for r in list_runs(str(state))] == ["morning", "evening"]
+    assert resolve_prev(str(state), "diff") == "evening"
+
+
 def test_record_is_atomic_and_idempotent(tmp_path):
     state = tmp_path / "s"
     meta = record_run_kind(str(state), "r1", "full", when="2026-08-16")

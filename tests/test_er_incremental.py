@@ -393,6 +393,19 @@ def test_config_mismatch_raises(ray_session, split_corpus, tmp_path):
             prev_run_id="base",
         )
 
+    # snm_window >= 2 is structurally unsupported on the delta path (SNM
+    # pairs need the GLOBAL sort order): refuse before touching state, and
+    # also catch a state built with SNM on via the pairs params digest.
+    snm = _cfg()
+    snm.snm_window = 3
+    with pytest.raises(ValueError, match="snm_window"):
+        run_er_incremental(
+            rd.from_arrow(PAGES_SCHEMA.empty_table()),
+            snm,
+            state_dir=state,
+            prev_run_id="base",
+        )
+
 
 def test_write_state_replaces_and_keeps_hot_hosts(ray_session, split_corpus, tmp_path):
     """write_state must (a) carry the hot-host table from run_er's output

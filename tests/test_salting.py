@@ -170,3 +170,51 @@ def test_bucketed_join_hot_key_salting_same_result(ray_session):
 
     with pytest.raises(ValueError):
         bucketed_join(left, right, "k", "rk", how="outer", hot_keys={42})
+
+
+def test_bucketed_join_salt_exceeding_buckets_no_duplicates(ray_session):
+    """hot_salt > n_buckets previously guaranteed two replicas of a hot
+    right row could land in one bucket (sub-bucket residue collision mod
+    n_buckets) and duplicate joined rows; the effective salt is now capped
+    at n_buckets and residues are consecutive, so the row set is exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.stages.util import bucketed_join
+
+    n = 600
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": np.full(n, 42, dtype="int64"),
+                "lv": np.arange(n, dtype="int64"),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "rk": np.array([42, 42], dtype="int64"),
+                "rv": np.array([1, 2], dtype="int64"),
+            }
+        )
+    )
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["k", "lv", "rv"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    # salt (16) far above bucket count (4): every sub-bucket residue pair
+    # would have collided under the old multiplicative spread
+    plain = norm(bucketed_join(left, right, "k", "rk", n_buckets=4))
+    salted = norm(
+        bucketed_join(
+            left, right, "k", "rk", n_buckets=4, hot_keys={42}, hot_salt=16
+        )
+    )
+    assert len(plain) == 2 * n
+    assert plain.equals(salted)
