@@ -306,14 +306,19 @@ def split_base_delta(pages: pa.Table) -> tuple[pa.Table, pa.Table]:
 # Adapter: derive a pages table from the driver's documents.parquet
 # ---------------------------------------------------------------------------
 
-def pages_from_documents(sf_dir: str) -> pa.Table:
+def pages_from_documents(sf_dir: str, exclude_doc_ids=None) -> pa.Table:
     """Deterministic expansion of ``{sf_dir}/documents.parquet`` into the
     input_hint ``pages`` shape, so entry()/bench run the flagship pipeline
     over driver data: each doc becomes a page; every 4th doc is re-crawled
     twice; every 5th doc gains a near-dup mirror on another host; ~30% of
-    pages live on one hot host (skew, per SURVEY.md §7.4)."""
+    pages live on one hot host (skew, per SURVEY.md §7.4).
+
+    ``exclude_doc_ids``: doc ids to drop BEFORE expansion (the
+    ``er_clusters_oracle`` query removes docs with cross-doc near-dup
+    partners so the planted per-doc clustering is the provable truth)."""
     import pyarrow.parquet as pq
 
+    excl = frozenset(exclude_doc_ids) if exclude_doc_ids is not None else frozenset()
     docs = pq.read_table(f"{sf_dir}/documents.parquet")
     urls, tss, htmls, texts, langs = [], [], [], [], []
 
@@ -328,6 +333,8 @@ def pages_from_documents(sf_dir: str) -> pa.Table:
     for doc_id, text, lang in zip(
         docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
     ):
+        if doc_id in excl:
+            continue
         host = "big-portal.example" if doc_id % 10 < 3 else f"site-{doc_id % 97:03d}.example"
         url = f"https://{host}/doc/{doc_id}"
         ts0 = _EPOCH + _dt.timedelta(minutes=doc_id * 7 % 500_000)

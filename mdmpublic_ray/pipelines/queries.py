@@ -1756,6 +1756,70 @@ def q_er_golden(sf_dir: str):
     return _er_outputs(sf_dir)["golden"]
 
 
+def q_er_clusters_oracle(sf_dir: str):
+    """END-TO-END SQL oracle for the flagship ER pipeline (the first
+    driver-checkable ``er_*`` row): run the REAL pipeline — dedup-latest,
+    extraction, features, blocking + salting, scoring, transitive
+    clustering — over pages derived from documents RESTRICTED to docs
+    with no cross-doc near-dup partner, where the planted per-doc
+    clustering (main page + mirror page of one doc; cluster_id = min url)
+    is the provable ground truth DuckDB can state directly.
+
+    The restriction uses the exact shingle-level Jaccard self-join
+    (``jaccard_set_join(shingle_k=3)``, threshold 0.05 — far below any
+    score the blended scorer could push over its 0.35 match threshold:
+    max surviving cross-doc score measured 0.279 at sf0.01). Both sides
+    compute the SAME exclusion: PPJoin here, positional 3-gram lists in
+    SQL. The excluded-doc set is near-dup-bounded (55 of 500 docs at
+    sf0.01) and collected to the driver; at corpus scale the equivalent
+    restriction would ride a broadcast Bloom filter."""
+    import ray.data as rd
+
+    from ..corpus import pages_from_documents
+    from ..stages.simjoin import jaccard_set_join
+    from .er import ERConfig, run_er
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_set_join(
+        docs, id_col="doc_id", text_col="text", threshold=0.05, shingle_k=3
+    ).to_pandas()
+    bad = set(pairs["doc_id_a"]) | set(pairs["doc_id_b"])
+    pages = pages_from_documents(sf_dir, exclude_doc_ids=bad)
+    out = run_er(rd.from_arrow(pages), ERConfig())
+    return out["clusters"]
+
+
+SQL_ER_CLUSTERS_ORACLE = """
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents),
+sh AS (SELECT doc_id,
+        CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+             WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+       FROM tk),
+bad AS (SELECT DISTINCT doc_id FROM (
+    SELECT a.doc_id FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.05)),
+clean AS (SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+pages AS (
+  SELECT doc_id,
+         'https://' || CASE WHEN doc_id % 10 < 3 THEN 'big-portal.example'
+              ELSE 'site-' || lpad(CAST(doc_id % 97 AS VARCHAR), 3, '0')
+                   || '.example' END
+         || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM clean
+  UNION ALL
+  SELECT doc_id,
+         'https://mirror-' || lpad(CAST(doc_id % 13 AS VARCHAR), 2, '0')
+         || '.example/doc/' || CAST(doc_id AS VARCHAR)
+  FROM clean WHERE doc_id % 5 = 0)
+SELECT url, MIN(url) OVER (PARTITION BY doc_id) AS cluster_id FROM pages
+"""
+
+
 _ER_CACHE: dict[str, dict] = {}
 
 
@@ -3768,6 +3832,7 @@ GROUP BY p.event_id, p.user_id
 QUERIES = {
     # --- oracle-backed, not yet driver-certified (verified green vs
     # --- DuckDB at sf0.01 by the round-2 judge re-check) ---
+    "er_clusters_oracle": q_er_clusters_oracle,
     "api_region_users": q_api_region_users,
     "inventory_value": q_inventory_value,
     "urgent_stale_orders": q_urgent_stale_orders,
@@ -3949,4 +4014,5 @@ ORACLE_SQL = {
     "event_funnel": SQL_EVENT_FUNNEL,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "doc_triangles": SQL_DOC_TRIANGLES,
+    "er_clusters_oracle": SQL_ER_CLUSTERS_ORACLE,
 }

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import text as T
-from ..functions.hashing import stable_u64
+from ..functions.hashing import shingle_hashes, stable_u64
 from .pairs import candidate_pairs
 from .scoring import SKETCH_PAD, pad_sketch_column, sketch_jaccard_batch
 from .util import bucketed_join, partial_sum_groupby
@@ -43,7 +43,9 @@ from .util import bucketed_join, partial_sum_groupby
 _EXACT_K = 1 << 31
 
 
-def _tokenize_stage(ds, *, id_col: str, text_col: str, block_col: str | None):
+def _tokenize_stage(
+    ds, *, id_col: str, text_col: str, block_col: str | None, shingle_k: int = 1
+):
     """(id, [blk], text) → (id, [blk], tokset: binary) where tokset is the
     doc's DISTINCT tokens hashed to uint64, sorted, packed little-endian.
 
@@ -51,12 +53,22 @@ def _tokenize_stage(ds, *, id_col: str, text_col: str, block_col: str | None):
     group keys, exact Jaccard via ``sketch_jaccard_batch``); a pair's
     Jaccard differs from the string-set value only if two distinct tokens
     of the corpus collide in 64 bits (~|vocab|²/2⁶⁴ — negligible, and a
-    collision merely perturbs one pair's score)."""
+    collision merely perturbs one pair's score).
+
+    ``shingle_k > 1`` switches the set elements from single tokens to
+    k-token shingles (``functions.hashing.shingle_hashes`` — the same
+    definition the ER feature sketches use), turning the join into a
+    shingle-level similarity join: word-order-sensitive, near-zero
+    similarity between unrelated texts that merely share vocabulary."""
 
     def tok(batch: pa.Table) -> pa.Table:
         memo: dict[str, int] = {}
         packed = []
         for txt in batch[text_col].to_pylist():
+            if shingle_k > 1:
+                hs = shingle_hashes(T.tokens(txt), shingle_k)
+                packed.append(np.sort(hs).tobytes())
+                continue
             hs = {
                 memo.setdefault(w, stable_u64(w))
                 for w in set(T.tokens(txt))
@@ -107,6 +119,7 @@ def jaccard_set_join(
     hot_top: int = 256,
     max_group_size: int = 1024,
     n_buckets: int = 64,
+    shingle_k: int = 1,
 ):
     """Exact Jaccard-similarity self-join: all (id_a < id_b) pairs whose
     DISTINCT-token-set Jaccard ≥ ``threshold`` (within ``block_col``
@@ -124,7 +137,8 @@ def jaccard_set_join(
     import ray
 
     tok_ds = _tokenize_stage(
-        ds, id_col=id_col, text_col=text_col, block_col=block_col
+        ds, id_col=id_col, text_col=text_col, block_col=block_col,
+        shingle_k=shingle_k,
     ).materialize()  # 3 consumers below; at 100 TB this is a parquet checkpoint
 
     hot = _hot_tokens(tok_ds, top=hot_top)
