@@ -113,8 +113,14 @@ def partial_sum_groupby(ds, keys: list[str], sums: dict[str, str], count_as: str
     collapse each batch to ≤ |distinct keys in batch| rows BEFORE the
     groupby shuffle — at web scale this is the difference between shuffling
     10^12 rows and shuffling |keys| × #blocks rows.
-    """
-    from ray.data.aggregate import Sum
+
+    The final combine is a ``bucketed_map_groups`` over the first key
+    (pandas sum per bucket), not ``Dataset.groupby().aggregate(Sum)``:
+    Ray 2.49's hash-shuffle aggregate spins up aggregator ACTORS per
+    call (~4 s fixed latency measured on a 20k-row combined set), while
+    the sort-based map_groups path is pure tasks. Same single shuffle,
+    same result; different keys may share a bucket, so the per-bucket
+    pandas groupby runs over the FULL key list."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, sort=False, as_index=False)
@@ -126,10 +132,14 @@ def partial_sum_groupby(ds, keys: list[str], sums: dict[str, str], count_as: str
             agg = g.size().rename(columns={"size": count_as})
         return agg
 
-    aggs = [Sum(out, alias_name=out) for out in sums.values()]
-    if count_as:
-        aggs.append(Sum(count_as, alias_name=count_as))
-    return ds.map_batches(partial, batch_format="pandas").groupby(keys).aggregate(*aggs)
+    out_cols = list(sums.values()) + ([count_as] if count_as else [])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, as_index=False)
+        return g.agg(**{c: (c, "sum") for c in out_cols})
+
+    combined = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_map_groups(combined, keys[0], final)
 
 
 def bucketed_join(
