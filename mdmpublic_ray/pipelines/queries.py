@@ -1904,15 +1904,20 @@ def q_docs_cdc_dedup(sf_dir: str):
 
 
 def q_pages_media_features(sf_dir: str):
-    """Multimodal plumbing: opaque binary payloads through an actor-pool
-    decode stage (stub decoder — see stages/media.py; rows-only)."""
+    """Multimodal decode: REAL byte-level image decoding (PNG + BMP via
+    struct/zlib/numpy — stages/media.py RealDecoder) through the
+    actor-pool stage, over a deterministic fixture of actual encoded
+    images (one per document; every 10th payload is a non-image and
+    degrades to an 'unsupported' row instead of failing the task).
+    Rows-only: pixel decode has no SQL form; encode→decode round-trip
+    exactness is pinned by tests/test_media.py."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    from ..corpus import pages_from_documents
-    from ..stages.media import media_features_stage
+    from ..stages.media import media_features_stage, synth_image_table
 
-    tbl = pages_from_documents(sf_dir).select(["url", "html"]).rename_columns(["url", "payload"])
-    return media_features_stage(rd.from_arrow(tbl))
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return media_features_stage(rd.from_arrow(synth_image_table(n_docs)))
 
 
 # --------------------------------------------------------------------------
