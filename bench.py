@@ -57,15 +57,29 @@ def _run_bench() -> dict:
     extras: dict = {"sf": sf_dir, "num_cpus": ncpu}
 
     # --- flagship: full ER pipeline over derived pages ------------------
+    # best-of-N with the spread reported: single-box walls vary with
+    # page-cache / host load (observed 40.7-69.6 s within an hour at the
+    # scaling corpus), so one sample is not a measurement
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     pages_tbl = pages_from_documents(sf_dir)
     extras["er_pages"] = pages_tbl.num_rows
     pages = rd.from_arrow(pages_tbl)
-    t0 = time.monotonic()
-    out = run_er(pages, ERConfig())
-    n_scored = out["scored"].count()
-    n_golden = out["golden"].count()
-    er_sec = time.monotonic() - t0
+    er_runs: list[float] = []
+    n_scored = n_golden = 0
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        out = run_er(pages, ERConfig())
+        n_scored = out["scored"].count()
+        n_golden = out["golden"].count()
+        er_runs.append(time.monotonic() - t0)
+    er_sec = min(er_runs)
     timings["er_pipeline"] = round(er_sec, 3)
+    extras["er_pipeline_stats"] = {
+        "runs": len(er_runs),
+        "best": round(er_sec, 3),
+        "all_sec": [round(x, 3) for x in er_runs],
+        "spread_sec": round(max(er_runs) - min(er_runs), 3),
+    }
     extras["er_pairs_scored"] = n_scored
     extras["er_golden"] = n_golden
     extras["pairs_per_sec"] = round(n_scored / er_sec, 1) if er_sec else None
@@ -133,6 +147,56 @@ def _run_bench() -> dict:
         }
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+    # --- incremental-ER soak row (VERDICT r2 #8): the same run-over-run
+    # measurement at the 60k-page scaling corpus, in the bench JSON
+    # rather than only in BASELINE.md prose. Runs when the scaling
+    # corpus already exists on disk (or GRAFT_BENCH_SOAK=1 forces the
+    # one-time generation) so the default bench stays fast.
+    soak_dir = os.path.join(
+        os.environ.get("GRAFT_SCALING_DIR", "/tmp/graft_scaling_corpus"), "n12000"
+    )
+    if os.path.exists(os.path.join(soak_dir, "pages.ok")) or os.environ.get(
+        "GRAFT_BENCH_SOAK"
+    ):
+        import pyarrow.parquet as _pq
+
+        if not os.path.exists(os.path.join(soak_dir, "pages.ok")):
+            from mdmpublic_ray.corpus import write_corpus
+
+            write_corpus(soak_dir, n_clusters=12000, seed=42, doc_tokens=(300, 800))
+            with open(os.path.join(soak_dir, "pages.ok"), "w") as f:
+                f.write("ok")
+        soak_tbl = _pq.read_table(os.path.join(soak_dir, "pages.parquet"))
+        s_base, s_delta = split_base_delta(soak_tbl)
+        state = tempfile.mkdtemp(prefix="bench_er_soak_state_")
+        try:
+            t0 = time.monotonic()
+            run_er(
+                rd.from_arrow(s_base), ERConfig(checkpoint_dir=state, run_id="base")
+            )["golden"].count()
+            base_sec = time.monotonic() - t0
+            t0 = time.monotonic()
+            sinc = run_er_incremental(
+                rd.from_arrow(s_delta), ERConfig(), state_dir=state, prev_run_id="base"
+            )
+            n_soak_clusters = sinc["clusters"].count()
+            soak_sec = time.monotonic() - t0
+            timings["er_incremental_soak"] = round(soak_sec, 3)
+            extras["er_incremental_soak"] = {
+                "corpus_pages": soak_tbl.num_rows,
+                "delta_rows": s_delta.num_rows,
+                "base_full_run_sec": round(base_sec, 3),
+                "inc_sec": round(soak_sec, 3),
+                "speedup_vs_base_full_run": round(base_sec / soak_sec, 2)
+                if soak_sec
+                else None,
+                "clusters": n_soak_clusters,
+                **{k: v for k, v in sinc["incremental"].items()
+                   if k in ("n_new_pairs", "n_affected_clusters", "n_changed_clusters")},
+            }
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
 
     # --- representative operator benches --------------------------------
     bench_queries = [
@@ -288,7 +352,13 @@ def _scaling() -> None:
         # OS/page-cache state; min is the least-contended measurement of
         # the same fixed workload
         out[ncpu] = min(runs, key=lambda x: x["wall_sec"])
-        out[ncpu]["runs_wall_sec"] = [x["wall_sec"] for x in runs]
+        walls = [x["wall_sec"] for x in runs]
+        out[ncpu]["runs_wall_sec"] = walls
+        out[ncpu]["stats"] = {
+            "runs": len(walls),
+            "best": min(walls),
+            "spread_sec": round(max(walls) - min(walls), 3),
+        }
     t8, t32 = out[8]["wall_sec"], out[32]["wall_sec"]
     c8, c32 = out[8]["compute_section_sec"], out[32]["compute_section_sec"]
     eff = (t8 / t32) / (32 / 8)

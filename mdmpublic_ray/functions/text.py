@@ -138,10 +138,26 @@ def _jaro_batch_core(A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarra
     m1 = np.zeros(A.shape, dtype=bool)
     m2 = np.zeros(B.shape, dtype=bool)
     jr = np.arange(B.shape[1])
-    for i in range(int(la.max())):
-        act = la > i
-        if not act.any():
+    # Common-prefix pre-match: while both sides agree at position i, the
+    # greedy scan provably matches i→i (j = i is in-window for md ≥ 0 and
+    # every j < i is already taken), so those iterations are resolved in
+    # one vectorized pass. Pairs here share long prefixes (urls start
+    # "https://", near-dup titles differ late), so this removes most of
+    # the scan for exactly the rows that cost the most.
+    w = min(A.shape[1], B.shape[1])
+    eq = (A[:, :w] == B[:, :w]) & (np.arange(w) < np.minimum(la, lb)[:, None])
+    p = np.where(eq.all(axis=1), np.minimum(la, lb), (~eq).argmax(axis=1))
+    p = np.where(md >= 0, p, 0)  # md = -1 → empty window, nothing matches
+    pre = np.arange(w) < p[:, None]
+    m1[:, :w] |= pre
+    m2[:, :w] |= pre
+    for i in range(int(p.min()), int(la.max())):
+        alive = la > i
+        if not alive.any():
             break
+        act = alive & ~m1[:, i]
+        if not act.any():
+            continue
         cand = (
             (B == A[:, i][:, None])
             & ~m2

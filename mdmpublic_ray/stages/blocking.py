@@ -144,7 +144,8 @@ def hot_host_sizes(urls_ds, max_block_size: int, *, driver_cap: int = 100_000) -
     handful (``driver_cap`` guards the pathological case; overflow is
     logged, overflowing hosts simply stay capped instead of salted)."""
     import pandas as pd
-    from ray.data.aggregate import Sum
+
+    from .util import grouped_agg
 
     def partial(t: pa.Table) -> pa.Table:
         hosts = [canonical_host(u) or "" for u in t["url"].to_pylist()]
@@ -153,10 +154,10 @@ def hot_host_sizes(urls_ds, max_block_size: int, *, driver_cap: int = 100_000) -
             {"host": s.index.to_numpy().astype(str), "n": s.to_numpy().astype("int64")}
         )
 
-    agg = (
-        urls_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("host")
-        .aggregate(Sum("n", alias_name="n"))
+    agg = grouped_agg(
+        urls_ds.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        {"n": ("n", "sum")},
     )
     hot_tbl = agg.map_batches(
         lambda t: t.filter(pa.compute.greater(t["n"], max_block_size)),
@@ -240,6 +241,8 @@ def block_keys_stage(
 def block_size_stats(blocks_ds):
     """Skew pre-pass (SURVEY.md §4.2): per-block member counts, descending.
     Feeds the metrics sidecar and the oversized-block cap diagnostics."""
-    from ray.data.aggregate import Count
+    from .util import grouped_agg
 
-    return blocks_ds.groupby("block_key").aggregate(Count(alias_name="n_members"))
+    return grouped_agg(
+        blocks_ds, ["block_key"], {"n_members": ("block_key", "count")}
+    )

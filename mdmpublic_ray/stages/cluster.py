@@ -24,10 +24,10 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Sum
 
 from ..functions.hashing import crc32_array
-from .util import bucketed_join, default_partitions
+from .util import bucketed_join, default_partitions, grouped_agg
 
 
 # Below this many (undirected) match edges the component structure is
@@ -149,9 +149,11 @@ def connected_components(
         return result
 
     # active set = distinct edge endpoints; labels init to self
+    # (grouped_agg, not groupby().aggregate — see util.py: the latter
+    # spins aggregator actors per call, ~1 s fixed latency × 2 calls ×
+    # rounds in this loop)
     labels = (
-        edges_sym.groupby("src")
-        .aggregate(Min("dst", alias_name="nbr_min"))
+        grouped_agg(edges_sym, ["src"], {"nbr_min": ("dst", "min")}, n_buckets=P)
         .map_batches(
             lambda t: pa.table(
                 {
@@ -177,9 +179,10 @@ def connected_components(
     for rnd in range(max_rounds):
         # 1) neighbor labels: edge (src,dst) picks up label(dst)
         nbr_min = (
-            bucketed_join(edges_sym, labels, "dst", "url", n_buckets=P)
-            .groupby("src")
-            .aggregate(Min("label", alias_name="label"))
+            grouped_agg(
+                bucketed_join(edges_sym, labels, "dst", "url", n_buckets=P),
+                ["src"], {"label": ("label", "min")}, n_buckets=P,
+            )
             .map_batches(
                 lambda t: pa.table({"url": t["src"], "label": t["label"]}),
                 batch_format="pyarrow",
@@ -196,11 +199,9 @@ def connected_components(
             batch_format="pyarrow",
         )
         # 3) min per url across {current, neighbor-min, jumped}
-        labels_next = (
-            labels.union(nbr_min)
-            .union(jump)
-            .groupby("url")
-            .aggregate(Min("label", alias_name="label"))
+        labels_next = grouped_agg(
+            labels.union(nbr_min).union(jump),
+            ["url"], {"label": ("label", "min")}, n_buckets=P,
         ).materialize()
         new_sum = checksum(labels_next)
         labels = labels_next

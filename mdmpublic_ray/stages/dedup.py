@@ -23,7 +23,12 @@ DEFAULT_BUCKETS = 64
 def _add_bucket(ds, key: str, n_buckets: int):
     def f(batch: pa.Table) -> pa.Table:
         b = crc32_array(batch[key].to_pylist()) % np.uint32(n_buckets)
-        return batch.append_column("_bucket", pa.array(b.astype(np.int32)))
+        # metadata strip: pandas-stage blocks carry b'pandas' schema
+        # metadata, which is unhashable and makes Ray's sort-boundary
+        # sampling log "Failed to hash the schemas" (see util.add_bucket)
+        return batch.append_column(
+            "_bucket", pa.array(b.astype(np.int32))
+        ).replace_schema_metadata(None)
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -62,7 +67,8 @@ def dedup_latest(
     classic full shuffle runs instead (``broadcast_threshold=0`` forces
     it — tests do)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Max, Sum
+
+    from .util import grouped_agg
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         sort_cols = [key, ts_col] + [
@@ -95,11 +101,11 @@ def dedup_latest(
         agg = g.agg(_n=(ts_col, "size"), _mx=(ts_col, "max"))
         return agg
 
-    stats = (
-        ds.select_columns([key, ts_col])
-        .map_batches(key_partial, batch_format="pandas")
-        .groupby(key)
-        .aggregate(Sum("_n", alias_name="_n"), Max("_mx", alias_name="_mx"))
+    stats = grouped_agg(
+        ds.select_columns([key, ts_col]).map_batches(key_partial, batch_format="pandas"),
+        [key],
+        {"_n": ("_n", "sum"), "_mx": ("_mx", "max")},
+        n_buckets=n_buckets,
     )
     contested_tbl = stats.map_batches(
         lambda t: t.filter(pc.greater(t["_n"], 1)).select([key]),

@@ -61,14 +61,15 @@ def _explode_min_batch(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
 def dedup_lines(ds, *, id_col: str = "page_id", text_col: str = "raw_text", n_buckets: int = 64):
     """→ (page_id, n_kept, clean_text) with only globally-first line
     occurrences surviving. See module docstring for the physical plan."""
-    from ray.data.aggregate import Min
+    from .util import grouped_agg
 
-    winners = (
+    winners = grouped_agg(
         ds.map_batches(
             lambda t: _explode_min_batch(t, id_col, text_col), batch_format="pyarrow"
-        )
-        .groupby("line")
-        .aggregate(Min("packed", alias_name="packed"))
+        ),
+        ["line"],
+        {"packed": ("packed", "min")},
+        n_buckets=n_buckets,
     )
 
     def unpack(t: pa.Table) -> pa.Table:

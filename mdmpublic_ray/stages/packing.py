@@ -39,7 +39,7 @@ def pack_token_stream(
     """→ (doc_id, n_tokens, bin_id). ``group_size``: doc_ids per range
     bucket; the driver holds one offset per bucket (corpus_size /
     group_size ints)."""
-    from ray.data.aggregate import Sum
+    from .util import grouped_agg
 
     def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
         n = (
@@ -61,13 +61,13 @@ def pack_token_stream(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("bucket", as_index=False)["n_tokens"].sum()
 
-    sums = (
-        counted.select_columns(["bucket", "n_tokens"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("bucket")
-        .aggregate(Sum("n_tokens", alias_name="tok"))
-        .take_all()
-    )
+    sums = grouped_agg(
+        counted.select_columns(["bucket", "n_tokens"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["bucket"],
+        {"tok": ("n_tokens", "sum")},
+    ).take_all()
     sums.sort(key=lambda r: r["bucket"])
     offsets: dict[int, int] = {}
     run = 0

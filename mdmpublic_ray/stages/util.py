@@ -86,7 +86,11 @@ def add_bucket(ds, key: str, n_buckets: int = DEFAULT_BUCKETS, out: str = "_buck
             )
         else:
             b = (crc32_array(col.to_pylist()) % np.uint32(n_buckets)).astype(np.int32)
-        return batch.append_column(out, pa.array(b))
+        # strip schema metadata: blocks that passed a pandas-format stage
+        # carry b'pandas' metadata, which makes pa.Schema UNHASHABLE and
+        # trips Ray's sort-boundary sampling into logging "Failed to hash
+        # the schemas" on every downstream groupby shuffle
+        return batch.append_column(out, pa.array(b)).replace_schema_metadata(None)
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -140,6 +144,32 @@ def partial_sum_groupby(ds, keys: list[str], sums: dict[str, str], count_as: str
 
     combined = ds.map_batches(partial, batch_format="pandas")
     return bucketed_map_groups(combined, keys[0], final)
+
+
+def grouped_agg(
+    ds,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+    *,
+    n_buckets: int = DEFAULT_BUCKETS,
+):
+    """Grouped aggregation via one bucketed sort-shuffle + vectorized
+    pandas per bucket — the engine's replacement for
+    ``Dataset.groupby().aggregate(...)``, whose Ray 2.49 hash-shuffle
+    implementation spins up aggregator ACTORS per call (~1-4 s fixed
+    latency measured even on 20k-row inputs; pure-task map_groups is
+    3-4× faster at bench scale and identical in shuffle shape).
+
+    ``spec``: {out_col: (src_col, op)} with pandas-named ops ("sum",
+    "min", "max", "count", ...). NOT pre-combined — callers whose rows
+    per key are huge should map-side combine first (or use
+    ``partial_sum_groupby`` for sums)."""
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, as_index=False)
+        return g.agg(**{out: (src, op) for out, (src, op) in spec.items()})
+
+    return bucketed_map_groups(ds, keys[0], agg, n_buckets=n_buckets)
 
 
 def bucketed_join(
