@@ -42,6 +42,23 @@ def _run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Ray's sort-boundary sampling logs a harmless "Failed to hash the
+    # schemas (for deduplication)" for blocks that passed a pandas-format
+    # stage (b'pandas' schema metadata is unhashable; the code falls back
+    # to a full unify). The ER hot path strips the metadata at its
+    # shuffle entries (stages/util.py add_bucket); ad-hoc query sorts can
+    # still carry it, so drop the driver-side log line to keep bench
+    # output clean.
+    import logging
+
+    class _DropSchemaHashNoise(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_DropSchemaHashNoise())
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray.data as rd
 

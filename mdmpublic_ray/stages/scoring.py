@@ -281,20 +281,58 @@ def _feat_payload(features_ref):
     return _FEAT_CACHE[key]
 
 
+def _jw_arrow(a: pa.Array, b: pa.Array) -> np.ndarray:
+    """Jaro-Winkler over two Arrow string arrays: vectorized equality
+    short-circuit (no Python string round-trip for identical pairs —
+    repeated titles dominate candidate batches), then the memoized
+    batch kernel over only the non-equal rows."""
+    n = len(a)
+    out = np.ones(n, dtype=np.float64)
+    ne = np.nonzero(~pc.equal(a, b).to_numpy(zero_copy_only=False))[0]
+    if ne.size:
+        sel = pa.array(ne)
+        out[ne] = jaro_winkler_batch(
+            a.take(sel).to_pylist(), b.take(sel).to_pylist()
+        )
+    return out
+
+
 def _score_broadcast_batch(
     batch: pa.Table, features_ref, threshold: float, sketch_k: int
 ) -> pa.Table:
     uids, urls, titles, mat, lens = _feat_payload(features_ref)
     ia = np.searchsorted(uids, batch["uid_a"].to_numpy(zero_copy_only=False))
     ib = np.searchsorted(uids, batch["uid_b"].to_numpy(zero_copy_only=False))
-    return _score_kernel(
-        urls.take(pa.array(ia)).to_pylist(),
-        urls.take(pa.array(ib)).to_pylist(),
-        titles.take(pa.array(ia)).to_pylist(),
-        titles.take(pa.array(ib)).to_pylist(),
-        mat[ia], lens[ia], mat[ib], lens[ib],
-        threshold,
-        sketch_k,
+    # score each DISTINCT (uid_a, uid_b) once — hot-host sub-blocks and
+    # multi-band LSH emit the same pair into a batch repeatedly, and the
+    # sketch/JW kernels are the cost — then expand by the inverse map.
+    key = ia.astype(np.int64) * np.int64(len(uids)) + ib
+    ukey, inv = np.unique(key, return_inverse=True)
+    uia = (ukey // len(uids)).astype(np.int64)
+    uib = (ukey % len(uids)).astype(np.int64)
+    ta = titles.take(pa.array(uia))
+    tb = titles.take(pa.array(uib))
+    ua = urls.take(pa.array(uia))
+    ub = urls.take(pa.array(uib))
+    jac = sketch_jaccard_batch(mat[uia], lens[uia], mat[uib], lens[uib], sketch_k)[inv]
+    jwt = _jw_arrow(ta, tb)[inv]
+    jwu = _jw_arrow(ua, ub)[inv]
+    sc = W_JACCARD * jac + W_TITLE * jwt + W_URL * jwu
+    # output urls in lexicographic order, Arrow-native (pair identity is
+    # uid-ordered upstream; all three features are symmetric)
+    ua_r = urls.take(pa.array(ia))
+    ub_r = urls.take(pa.array(ib))
+    lt = pc.less_equal(ua_r, ub_r)
+    return pa.table(
+        {
+            "url_a": pc.if_else(lt, ua_r, ub_r),
+            "url_b": pc.if_else(lt, ub_r, ua_r),
+            "jaccard": pa.array(jac),
+            "jw_title": pa.array(jwt),
+            "jw_url": pa.array(jwu),
+            "score": pa.array(sc),
+            "is_match": pa.array(sc >= threshold),
+        }
     )
 
 
