@@ -42,11 +42,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle per SQL-expressible query (same column names; exact
-    fixed-point sums — see queries.py module docstring). Keys absent
-    here (the simhash/minhash cluster pipelines, the LSH/IVF ANN paths
-    and distributed k-means, the er_* pipelines, pages_media_features,
-    CDC chunk dedup docs_cdc_dedup — a rolling hash has no SQL form —
-    and the sketch variants docs_distinct_tokens_hll / docs_top_tokens_mg /
+    fixed-point sums — see queries.py module docstring). The flagship ER
+    pipeline IS oracle-checked end-to-end via ``er_clusters_oracle`` and
+    ``er_golden_oracle`` (restricted corpus where the planted truth is
+    SQL-provable). Keys absent here (the simhash/minhash cluster
+    pipelines, the LSH/IVF ANN paths and distributed k-means, the
+    unrestricted er_* pipelines, pages_media_features — pixel decode has
+    no SQL form — CDC chunk dedup docs_cdc_dedup, and the sketch
+    variants docs_distinct_tokens_hll / docs_top_tokens_mg /
     docs_len_quantiles_mrl) are non-SQL-expressible or approximate
     pipelines → rows-only check, each with dedicated pytest semantics
     (error bounds, recall floors, or planted-truth equality)."""

@@ -1779,14 +1779,44 @@ def q_er_clusters_oracle(sf_dir: str):
     from ..stages.simjoin import jaccard_set_join
     from .er import ERConfig, run_er
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = jaccard_set_join(
-        docs, id_col="doc_id", text_col="text", threshold=0.05, shingle_k=3
-    ).to_pandas()
-    bad = set(pairs["doc_id_a"]) | set(pairs["doc_id_b"])
-    pages = pages_from_documents(sf_dir, exclude_doc_ids=bad)
-    out = run_er(rd.from_arrow(pages), ERConfig())
-    return out["clusters"]
+    return _er_oracle_outputs(sf_dir)["clusters"]
+
+
+_ER_ORACLE_CACHE: dict[str, dict] = {}
+
+
+def _er_oracle_outputs(sf_dir: str) -> dict:
+    """The restricted-corpus ER run shared by ``er_clusters_oracle`` and
+    ``er_golden_oracle`` (see the former's docstring for the corpus
+    restriction that makes the planted truth SQL-provable)."""
+    if sf_dir not in _ER_ORACLE_CACHE:
+        import ray.data as rd
+
+        from ..corpus import pages_from_documents
+        from ..stages.simjoin import jaccard_set_join
+        from .er import ERConfig, run_er
+
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        pairs = jaccard_set_join(
+            docs, id_col="doc_id", text_col="text", threshold=0.05, shingle_k=3
+        ).to_pandas()
+        bad = set(pairs["doc_id_a"]) | set(pairs["doc_id_b"])
+        pages = pages_from_documents(sf_dir, exclude_doc_ids=bad)
+        _ER_ORACLE_CACHE[sf_dir] = run_er(rd.from_arrow(pages), ERConfig())
+    return _ER_ORACLE_CACHE[sf_dir]
+
+
+def q_er_golden_oracle(sf_dir: str):
+    """END-TO-END SQL oracle for the pipeline's FINAL output — golden
+    records (stages/golden.py survivorship) over the same restricted
+    corpus as ``er_clusters_oracle``. DuckDB restates every output field
+    from first principles: the page derivation (timestamps, re-crawl
+    bumps, the mirror's whitespace-normalized one-token deletion), the
+    planted clustering, canonical-member selection (max warc_ts, ties by
+    lexicographic-min url) and the extraction byte-identity invariant
+    (text_len equals the source text length because extract(build_html(
+    text)) round-trips exactly — the M17 invariant)."""
+    return _er_oracle_outputs(sf_dir)["golden"]
 
 
 SQL_ER_CLUSTERS_ORACLE = """
@@ -1817,6 +1847,67 @@ pages AS (
          || '.example/doc/' || CAST(doc_id AS VARCHAR)
   FROM clean WHERE doc_id % 5 = 0)
 SELECT url, MIN(url) OVER (PARTITION BY doc_id) AS cluster_id FROM pages
+"""
+
+
+SQL_ER_GOLDEN_ORACLE = """
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents),
+sh AS (SELECT doc_id,
+        CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+             WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+       FROM tk),
+bad AS (SELECT DISTINCT doc_id FROM (
+    SELECT a.doc_id FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.05)),
+clean AS (SELECT doc_id, lang, text FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+pages AS (
+  -- main page; dedup-latest keeps the re-crawl timestamp for doc%4==0
+  -- (re-crawl text is identical); text_len = length(text) by the M17
+  -- extraction byte-identity invariant
+  SELECT doc_id, lang,
+         'https://' || CASE WHEN doc_id % 10 < 3 THEN 'big-portal.example'
+              ELSE 'site-' || lpad(CAST(doc_id % 97 AS VARCHAR), 3, '0')
+                   || '.example' END
+         || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         TIMESTAMP '2024-01-01' + ((doc_id * 7) % 500000) * INTERVAL 1 MINUTE
+           + CASE WHEN doc_id % 4 = 0 THEN doc_id % 50 + 1 ELSE 0 END
+             * INTERVAL 1 HOUR AS warc_ts,
+         CAST(length(text) AS BIGINT) AS text_len
+  FROM clean
+  UNION ALL
+  -- mirror page: whitespace-normalized text, one token deleted when the
+  -- doc has more than 3 tokens (position doc_id % n, 0-based)
+  SELECT doc_id, lang,
+         'https://mirror-' || lpad(CAST(doc_id % 13 AS VARCHAR), 2, '0')
+         || '.example/doc/' || CAST(doc_id AS VARCHAR),
+         TIMESTAMP '2024-01-01' + ((doc_id * 7) % 500000) * INTERVAL 1 MINUTE,
+         CAST(length(array_to_string(
+           CASE WHEN len(toks) > 3
+                THEN list_concat(
+                       list_slice(toks, 1, doc_id % len(toks)),
+                       list_slice(toks, doc_id % len(toks) + 2, len(toks)))
+                ELSE toks END, ' ')) AS BIGINT)
+  FROM (SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        FROM clean)
+  WHERE doc_id % 5 = 0),
+ranked AS (
+  SELECT *,
+         MIN(url) OVER (PARTITION BY doc_id) AS cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY warc_ts DESC, url ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_members,
+         MAX(warc_ts) OVER (PARTITION BY doc_id) AS max_warc_ts
+  FROM pages)
+SELECT cluster_id, url AS canonical_url,
+       CAST(n_members AS BIGINT) AS n_members,
+       lang AS langs, max_warc_ts, text_len
+FROM ranked WHERE rn = 1
 """
 
 
@@ -3838,6 +3929,7 @@ QUERIES = {
     # --- oracle-backed, not yet driver-certified (verified green vs
     # --- DuckDB at sf0.01 by the round-2 judge re-check) ---
     "er_clusters_oracle": q_er_clusters_oracle,
+    "er_golden_oracle": q_er_golden_oracle,
     "api_region_users": q_api_region_users,
     "inventory_value": q_inventory_value,
     "urgent_stale_orders": q_urgent_stale_orders,
@@ -4020,4 +4112,5 @@ ORACLE_SQL = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "doc_triangles": SQL_DOC_TRIANGLES,
     "er_clusters_oracle": SQL_ER_CLUSTERS_ORACLE,
+    "er_golden_oracle": SQL_ER_GOLDEN_ORACLE,
 }
