@@ -63,6 +63,14 @@ class ERConfig:
     # cluster — into embarrassingly-parallel CPU. Results identical
     # (compression is a bijection and dedup never inspects the payload).
     compress_text_shuffle: bool = True
+    # winner-broadcast dedup (stages/dedup.py): when the corpus has at
+    # most this many distinct urls, dedup-latest broadcasts the
+    # (url → max warc_ts) winner table and keeps winning rows with a pure
+    # filter map — the full-row exchange disappears entirely. Beyond the
+    # threshold (winner table too big to ship to every task) the classic
+    # bucketed shuffle runs. 5M urls ≈ 400 MB broadcast — one shared-
+    # memory copy per node.
+    dedup_winner_broadcast_rows: int = 5_000_000
     checkpoint_dir: str | None = None  # per-stage parquet + manifests
     run_id: str = "run0"
 
@@ -162,11 +170,18 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
                     )
 
                 packed = extracted.map_batches(_pack, batch_format="pyarrow")
+                if cfg.dedup_winner_broadcast_rows:
+                    # the winner path scans its input twice → pin it
+                    packed = packed.materialize()
                 return dedup_latest(
-                    packed, "url", "warc_ts", n_buckets=cfg.n_buckets
+                    packed, "url", "warc_ts", n_buckets=cfg.n_buckets,
+                    winner_broadcast_rows=cfg.dedup_winner_broadcast_rows,
                 ).map_batches(_unpack, batch_format="pyarrow")
+            if cfg.dedup_winner_broadcast_rows:
+                extracted = extracted.materialize()
             return dedup_latest(
-                extracted, "url", "warc_ts", n_buckets=cfg.n_buckets
+                extracted, "url", "warc_ts", n_buckets=cfg.n_buckets,
+                winner_broadcast_rows=cfg.dedup_winner_broadcast_rows,
             )
         return extract_stage(
             dedup_latest(slim, "url", "warc_ts", n_buckets=cfg.n_buckets),

@@ -42,6 +42,9 @@ def _add_bucket(ds, key: str, n_buckets: int):
 # real clusters opt in via ``broadcast_threshold=N``.
 CONTESTED_BROADCAST_THRESHOLD = 0
 
+# per-worker cache of the broadcast winner table (see scoring._FEAT_CACHE)
+_WINNER_CACHE: dict = {}
+
 
 def dedup_latest(
     ds,
@@ -50,6 +53,7 @@ def dedup_latest(
     *,
     n_buckets: int = DEFAULT_BUCKETS,
     broadcast_threshold: int = CONTESTED_BROADCAST_THRESHOLD,
+    winner_broadcast_rows: int = 0,
 ):
     """Keep the row with max ``ts_col`` per ``key`` — re-crawled pages keep
     only the newest crawl (SURVEY.md §2.6 T5; the first shuffle of the ER
@@ -65,10 +69,24 @@ def dedup_latest(
     contested rows take the bucketed full-row shuffle. When the contested
     set exceeds ``broadcast_threshold`` (can't ship to every task), the
     classic full shuffle runs instead (``broadcast_threshold=0`` forces
-    it — tests do)."""
+    it — tests do).
+
+    ``winner_broadcast_rows`` (opt-in, 0 = off): an even cheaper
+    size-aware plan that ELIMINATES the full-row exchange. A keys-only
+    shuffle computes each key's winner (max ts + how many rows sit AT
+    that max); when the distinct-key count fits the threshold, the
+    (key → winner ts) table is broadcast and a pure filter map keeps the
+    winning rows where they already live — zero payload bytes through
+    the fabric. Keys with >1 row at the max (re-delivered crawls) fall
+    back to the full-column-sort shuffle for the classic deterministic
+    tie-break, on just those keys' rows. Beyond the threshold (the
+    winner table is corpus-sized at web scale — it cannot ship to every
+    task) the classic paths below run unchanged. CALLER CONTRACT: the
+    input is scanned twice (keys pass + filter pass) — pass a
+    materialized or cheap-to-rescan dataset."""
     import pyarrow.compute as pc
 
-    from .util import grouped_agg
+    from .util import dataset_arrow_schema, grouped_agg
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         sort_cols = [key, ts_col] + [
@@ -90,6 +108,98 @@ def dedup_latest(
 
         bucketed = _add_bucket(rows_ds.map_batches(partial, batch_format="pandas"), key, n_buckets)
         return bucketed.groupby("_bucket").map_groups(final, batch_format="pandas")
+
+    def make_to_input_schema():
+        # bound on the DRIVER at the use site (inside map_batches the
+        # Dataset API is unavailable), and only on the branches that know
+        # data exists: zero-row inputs (incremental-ER empty deltas) have
+        # NO schema, and the plain full_shuffle path must work there.
+        # pandas round-trips e.g. timestamp[us] → timestamp[ns]; casting
+        # the shuffle branch back keeps unions schema-homogeneous.
+        base_schema = dataset_arrow_schema(ds)
+
+        def to_input_schema(df: pd.DataFrame) -> pa.Table:
+            t = pa.Table.from_pandas(df, preserve_index=False)
+            return t.select(base_schema.names).cast(base_schema)
+
+        return to_input_schema
+
+    if winner_broadcast_rows:
+        from .util import bucketed_map_groups
+
+        def winner_partial(df: pd.DataFrame) -> pd.DataFrame:
+            mx = df.groupby(key, sort=False)[ts_col].max().rename("_mx")
+            j = df[[key, ts_col]].merge(mx, left_on=key, right_index=True)
+            n = j[j[ts_col] == j["_mx"]].groupby(key, sort=False).size()
+            return pd.DataFrame(
+                {key: mx.index, "_mx": mx.to_numpy(),
+                 "_n_at": n.reindex(mx.index).to_numpy().astype("int64")}
+            )
+
+        def winner_final(df: pd.DataFrame) -> pd.DataFrame:
+            # combine partials: the true max across batches; counts only
+            # from partials that saw that max
+            mx = df.groupby(key, sort=False)["_mx"].max().rename("_tmx")
+            j = df.merge(mx, left_on=key, right_index=True)
+            n = j[j["_mx"] == j["_tmx"]].groupby(key, sort=False)["_n_at"].sum()
+            return pd.DataFrame(
+                {key: mx.index, "_mx": mx.to_numpy(),
+                 "_n_at": n.reindex(mx.index).to_numpy().astype("int64")}
+            )
+
+        winners = bucketed_map_groups(
+            ds.select_columns([key, ts_col]).map_batches(
+                winner_partial, batch_format="pandas"
+            ),
+            key,
+            winner_final,
+            n_buckets=n_buckets,
+        ).materialize()
+        n_keys = winners.count()
+        if 0 < n_keys <= winner_broadcast_rows:
+            import ray
+
+            wt = pa.concat_tables(
+                [pa.table(b) for b in winners.iter_batches(batch_format="pyarrow")]
+            ).combine_chunks()
+            wt = wt.take(pc.sort_indices(wt[key]))
+            multi = wt.filter(pc.greater(wt["_n_at"], 1))[key].combine_chunks()
+            wref = ray.put(
+                (wt[key].combine_chunks(), wt["_mx"].combine_chunks(),
+                 multi if len(multi) else None)
+            )
+
+            def keep_winners(t: pa.Table) -> pa.Table:
+                import ray as _ray
+
+                k = wref.hex()
+                if k not in _WINNER_CACHE:
+                    _WINNER_CACHE.clear()
+                    _WINNER_CACHE[k] = _ray.get(wref)
+                keys_arr, mxs, multi_arr = _WINNER_CACHE[k]
+                idx = pc.index_in(t[key], value_set=keys_arr)
+                m = pc.equal(t[ts_col], mxs.take(idx))
+                if multi_arr is not None:
+                    m = pc.and_(
+                        m, pc.invert(pc.is_in(t[key], value_set=multi_arr))
+                    )
+                return t.filter(m)
+
+            uncontested = ds.map_batches(keep_winners, batch_format="pyarrow")
+            if len(multi) == 0:
+                return uncontested
+            multi_ref = ray.put(multi)
+
+            def only_multi(t: pa.Table) -> pa.Table:
+                import ray as _ray
+
+                return t.filter(pc.is_in(t[key], value_set=_ray.get(multi_ref)))
+
+            tied = full_shuffle(
+                ds.map_batches(only_multi, batch_format="pyarrow")
+            ).map_batches(make_to_input_schema(), batch_format="pandas")
+            return uncontested.union(tied)
+        # winner table too big to broadcast → classic paths below
 
     if not broadcast_threshold:
         return full_shuffle(ds)
@@ -145,19 +255,9 @@ def dedup_latest(
         )
 
     # the shuffle branch yields pandas blocks; the pass-through branch is
-    # arrow — unify to arrow AND cast back to the input schema (pandas
-    # round-trips e.g. timestamp[us] → timestamp[ns]; a union of
-    # heterogeneous block schemas breaks downstream schema unification)
-    from .util import dataset_arrow_schema
-
-    base_schema = dataset_arrow_schema(ds)
-
-    def to_input_schema(df: pd.DataFrame) -> pa.Table:
-        t = pa.Table.from_pandas(df, preserve_index=False)
-        return t.select(base_schema.names).cast(base_schema)
-
+    # arrow — unify via to_input_schema (defined above)
     deduped_contested = full_shuffle(split(True)).map_batches(
-        to_input_schema, batch_format="pandas"
+        make_to_input_schema(), batch_format="pandas"
     )
     return split(False).union(deduped_contested)
 

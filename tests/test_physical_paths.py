@@ -66,6 +66,51 @@ def test_dedup_broadcast_and_full_shuffle_agree(ray_session, corpus_dir):
     assert fast["url"].is_unique
     pd.testing.assert_frame_equal(fast, slow)
 
+    # winner-broadcast path (zero full-row exchange): identical rows
+    winner = canon(
+        dedup_latest(
+            pages.materialize(), "url", "warc_ts", n_buckets=16,
+            winner_broadcast_rows=1_000_000,
+        )
+    )
+    pd.testing.assert_frame_equal(winner, slow)
+
+
+def test_dedup_winner_broadcast_tie_break(ray_session):
+    """Two rows at the same (url, max ts) with different payloads must get
+    the classic deterministic tie-break (full-column sort, keep last) —
+    the winner path routes exactly those keys through the shuffle."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.stages.dedup import dedup_latest
+
+    t0 = dt.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "url": pa.array(["u1", "u1", "u1", "u2", "u3"]),
+            "warc_ts": pa.array(
+                [t0, t0, dt.datetime(2023, 1, 1), t0, t0], pa.timestamp("us")
+            ),
+            "text": pa.array(["bbb", "aaa", "older", "t2", "t3"]),
+        }
+    )
+    classic = (
+        dedup_latest(rd.from_arrow(t), "url", "warc_ts")
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    winner = (
+        dedup_latest(
+            rd.from_arrow(t).materialize(), "url", "warc_ts",
+            winner_broadcast_rows=10,
+        )
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert classic.equals(winner)
+    assert winner.loc[winner.url == "u1", "text"].item() == "bbb"
+
 
 def test_golden_broadcast_and_join_agree(ray_session, small_er):
     from mdmpublic_ray.stages.golden import golden_records
