@@ -175,15 +175,28 @@ def dedup_latest(
                 k = wref.hex()
                 if k not in _WINNER_CACHE:
                     _WINNER_CACHE.clear()
-                    _WINNER_CACHE[k] = _ray.get(wref)
-                keys_arr, mxs, multi_arr = _WINNER_CACHE[k]
-                idx = pc.index_in(t[key], value_set=keys_arr)
-                m = pc.equal(t[ts_col], mxs.take(idx))
-                if multi_arr is not None:
-                    m = pc.and_(
-                        m, pc.invert(pc.is_in(t[key], value_set=multi_arr))
+                    keys_arr, mxs, multi_arr = _ray.get(wref)
+                    # hash index built ONCE per worker: pc.index_in
+                    # rebuilds the value_set hash table on EVERY call,
+                    # which at soak scale (800k+ urls) costs more than
+                    # the filter itself
+                    winner_ts = pd.Series(
+                        mxs.to_numpy(zero_copy_only=False),
+                        index=pd.Index(keys_arr.to_pandas()),
                     )
-                return t.filter(m)
+                    multi_idx = (
+                        pd.Index(multi_arr.to_pandas())
+                        if multi_arr is not None
+                        else None
+                    )
+                    _WINNER_CACHE[k] = (winner_ts, multi_idx)
+                winner_ts, multi_idx = _WINNER_CACHE[k]
+                urls = t[key].to_pandas()
+                wts = winner_ts.reindex(urls).to_numpy()
+                m = t[ts_col].to_numpy(zero_copy_only=False) == wts
+                if multi_idx is not None:
+                    m &= multi_idx.get_indexer(urls) < 0
+                return t.filter(pa.array(m))
 
             uncontested = ds.map_batches(keep_winners, batch_format="pyarrow")
             if len(multi) == 0:
