@@ -30,12 +30,18 @@ def _run_bench() -> dict:
     import ray
 
     if not ray.is_initialized():
+        # log_to_driver=False: worker log lines are forwarded to the
+        # DRIVER'S stdout/stderr and can interleave with (or precede)
+        # the single JSON line this harness must print — the driver's
+        # bench parser reads stdout. Failures still propagate as
+        # exceptions; full logs remain under /tmp/ray.
         ray.init(
             address="local",
             num_cpus=ncpu,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            log_to_driver=False,
         )
     from ray.data import DataContext
 
@@ -289,6 +295,7 @@ def _scaling_child(ncpu: int) -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
