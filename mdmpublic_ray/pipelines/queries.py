@@ -3925,6 +3925,40 @@ GROUP BY p.event_id, p.user_id
 # the first 50 only) are listed FIRST — oracle-backed ones up front,
 # then the rows-only pipelines — with the 50 already-driver-certified
 # queries (green in CORRECTNESS_r02.json) at the back.
+_DUP_NGRAM_K = 8
+
+
+def q_docs_dup_ngrams(sf_dir: str):
+    """ExactSubstr detection pass (Lee et al. 2022, re-expressed as
+    distributed k-gram windows — stages/substrdedup.py): per document,
+    how many of its 8-token windows recur in at least one OTHER doc.
+    The corpus-side complement of ``docs_decontaminate`` (which probes
+    the same 8-token shingles against a broadcast benchmark set)."""
+    from ..stages.substrdedup import dup_ngram_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_ngram_stats(ds, k=_DUP_NGRAM_K)
+
+
+def _sql_docs_dup_ngrams() -> str:
+    from ..stages.substrdedup import sql_dup_ngram_stats
+
+    return sql_dup_ngram_stats(_DUP_NGRAM_K)
+
+
+def q_docs_strip_dup_spans(sf_dir: str):
+    """ExactSubstr REMOVAL: cut every duplicated 8-token span from all
+    but the canonical (min doc_id, pos) occurrence, overlapping windows
+    merged into maximal spans first. Rows-only: the span-cut transform
+    is not SQL-expressible in one statement; planted-truth semantics
+    (shared paragraph survives exactly once, unique text untouched,
+    idempotence) are asserted in tests/test_substrdedup.py."""
+    from ..stages.substrdedup import strip_dup_spans
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return strip_dup_spans(ds, k=_DUP_NGRAM_K)
+
+
 QUERIES = {
     # --- oracle-backed, not yet driver-certified (verified green vs
     # --- DuckDB at sf0.01 by the round-2 judge re-check) ---
@@ -3952,6 +3986,7 @@ QUERIES = {
     "docs_len_quantiles": q_docs_len_quantiles,
     "docs_len_quantiles_by_lang": q_docs_len_quantiles_by_lang,
     "docs_decontaminate": q_docs_decontaminate,
+    "docs_dup_ngrams": q_docs_dup_ngrams,
     "web_line_dedup": q_web_line_dedup,
     "docs_pack_bins": q_docs_pack_bins,
     "web_prep": q_web_prep,
@@ -3975,6 +4010,7 @@ QUERIES = {
     "er_incremental": q_er_incremental,
     "pages_media_features": q_pages_media_features,
     "docs_cdc_dedup": q_docs_cdc_dedup,
+    "docs_strip_dup_spans": q_docs_strip_dup_spans,
     "embeddings_kmeans": q_embeddings_kmeans,
     # --- already driver-certified (green rows in CORRECTNESS_r02.json) ---
     "pricing_summary": q_pricing_summary,
@@ -4113,4 +4149,5 @@ ORACLE_SQL = {
     "doc_triangles": SQL_DOC_TRIANGLES,
     "er_clusters_oracle": SQL_ER_CLUSTERS_ORACLE,
     "er_golden_oracle": SQL_ER_GOLDEN_ORACLE,
+    "docs_dup_ngrams": _sql_docs_dup_ngrams(),
 }

@@ -243,12 +243,19 @@ def bucketed_join(
             n = batch.num_rows
             cols = {}
             for c in all_cols:
-                if side_is_left and c in ltypes:
-                    cols[c] = batch[c]
-                elif not side_is_left and c in rtypes:
-                    cols[c] = batch[c]
+                want = ltypes.get(c) or rtypes.get(c)
+                if (side_is_left and c in ltypes) or (not side_is_left and c in rtypes):
+                    col = batch[c]
+                    if col.type != want:
+                        # an EMPTY pandas-derived block reports object
+                        # columns as Arrow null type; pa.Table.join
+                        # rejects null-typed non-key fields even at 0
+                        # rows — normalize every block to the unified
+                        # schema up front
+                        col = _pa.compute.cast(col, want)
+                    cols[c] = col
                 else:
-                    cols[c] = _pa.nulls(n, ltypes.get(c) or rtypes.get(c))
+                    cols[c] = _pa.nulls(n, want)
             key = batch[left_on if side_is_left else right_on]
             cols["_jk"] = _pa.compute.cast(key, _pa.string())
             cols["_side"] = _pa.array(
@@ -311,6 +318,17 @@ def bucketed_join(
         downstream). Arrow preserves types and nulls exactly and its
         hash join is faster than pandas merge anyway."""
         import pyarrow.compute as _pc
+
+        # Normalize null-typed columns HERE, after the shuffle: a group
+        # bucket that received rows from only one side has all-null
+        # other-side columns, and the sort's pandas round-trip erases
+        # their declared type (object-all-None → Arrow null type), which
+        # pa.Table.join rejects for non-key fields. Casting an all-null
+        # column to its schema type is always valid.
+        for idx, name in enumerate(t.schema.names):
+            want = ltypes.get(name) or rtypes.get(name)
+            if want is not None and _pa.types.is_null(t.schema.field(idx).type):
+                t = t.set_column(idx, name, _pc.cast(t[name], want))
 
         side = t["_side"]
         lf = t.filter(_pc.equal(side, 0)).select(lcols + ["_jk"])
