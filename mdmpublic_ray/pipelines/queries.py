@@ -2929,6 +2929,63 @@ def _sql_docs_split_assign() -> str:
 
 SQL_DOCS_SPLIT_ASSIGN = _sql_docs_split_assign()
 
+
+def q_docs_split_leakage(sf_dir: str):
+    """Split-contamination audit (the near-dup cousin of
+    ``docs_decontaminate``): near-dup pairs — exact token-Jaccard >= 0.5
+    within (lang, source) blocks, the same prefix-filtered join as
+    ``similar_doc_pairs`` — whose two docs land on DIFFERENT sides of
+    the deterministic ``docs_split_assign`` split. Each straddling pair
+    leaks a training document's near-copy into val/test; a cluster-aware
+    split must route both to one side. Split is a pure function of
+    doc_id, so the audit is a map over the pair stream — no join against
+    an assignments table, nothing new shuffles."""
+    from ..functions.hashing import split_assign
+    from ..stages.simjoin import jaccard_set_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "text"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["lang"], t["source"], "|")
+        return t.append_column("blk", key)
+
+    pairs = jaccard_set_join(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        id_col="doc_id",
+        text_col="text",
+        block_col="blk",
+        threshold=0.5,
+    ).select_columns(["doc_id_a", "doc_id_b"])
+
+    def audit(t: pa.Table) -> pa.Table:
+        sa = split_assign(t["doc_id_a"].to_numpy(zero_copy_only=False))
+        sb = split_assign(t["doc_id_b"].to_numpy(zero_copy_only=False))
+        keep = sa != sb
+        return pa.table(
+            {
+                "doc_id_a": t["doc_id_a"].filter(pa.array(keep)),
+                "doc_id_b": t["doc_id_b"].filter(pa.array(keep)),
+                "split_a": pa.array(sa[keep], pa.string()),
+                "split_b": pa.array(sb[keep], pa.string()),
+            }
+        )
+
+    return pairs.map_batches(audit, batch_format="pyarrow")
+
+
+def _sql_docs_split_leakage() -> str:
+    from ..functions.hashing import split_sql_case
+
+    return f"""
+WITH pairs AS ({SQL_SIMILAR_DOC_PAIRS})
+SELECT doc_id_a, doc_id_b,
+       {split_sql_case('doc_id_a')} AS split_a,
+       {split_sql_case('doc_id_b')} AS split_b
+FROM pairs
+WHERE {split_sql_case('doc_id_a')} != {split_sql_case('doc_id_b')}
+"""
+
+
 _SAMPLE_SALT = "samp:"
 _SAMPLE_K = 20
 
@@ -3987,6 +4044,7 @@ QUERIES = {
     "docs_len_quantiles_by_lang": q_docs_len_quantiles_by_lang,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_dup_ngrams": q_docs_dup_ngrams,
+    "docs_split_leakage": q_docs_split_leakage,
     "web_line_dedup": q_web_line_dedup,
     "docs_pack_bins": q_docs_pack_bins,
     "web_prep": q_web_prep,
@@ -4150,4 +4208,5 @@ ORACLE_SQL = {
     "er_clusters_oracle": SQL_ER_CLUSTERS_ORACLE,
     "er_golden_oracle": SQL_ER_GOLDEN_ORACLE,
     "docs_dup_ngrams": _sql_docs_dup_ngrams(),
+    "docs_split_leakage": _sql_docs_split_leakage(),
 }

@@ -83,6 +83,7 @@ def test_query_matches_oracle(name, ray_session):
         "docs_distinct_tokens_hll",
         "docs_top_tokens_mg",
         "docs_len_quantiles_mrl",
+        "docs_strip_dup_spans",
     ],
 )
 def test_rows_only_queries_run(name, ray_session):
