@@ -48,8 +48,10 @@ def oracle_sql() -> dict[str, str]:
     SQL-provable). Keys absent here (the simhash/minhash cluster
     pipelines, the LSH/IVF ANN paths and distributed k-means, the
     unrestricted er_* pipelines, pages_media_features — pixel decode has
-    no SQL form — CDC chunk dedup docs_cdc_dedup, and the sketch
-    variants docs_distinct_tokens_hll / docs_top_tokens_mg /
+    no SQL form — CDC chunk dedup docs_cdc_dedup, the ExactSubstr span
+    cutter docs_strip_dup_spans — a multi-stage text rewrite with no
+    single-statement SQL form (its detection pass docs_dup_ngrams IS
+    oracled) — and the sketch variants docs_distinct_tokens_hll / docs_top_tokens_mg /
     docs_len_quantiles_mrl) are non-SQL-expressible or approximate
     pipelines → rows-only check, each with dedicated pytest semantics
     (error bounds, recall floors, or planted-truth equality)."""
