@@ -310,8 +310,22 @@ def _scaling_child(ncpu: int) -> None:
     pages = rd.read_parquet(pages_path)
     n_pages = pages.count()  # warms the page cache too
     in_bytes = os.path.getsize(pages_path)
+    # GRAFT_SCALING_CHECKPOINT=1: run in the documented large-corpus mode
+    # (stage outputs checkpointed to parquet, fresh dir per child so no
+    # stage is ever skipped). Above ~500k pages the UNcheckpointed mode
+    # holds the full diamond DAG (pairs + features + scored) live in the
+    # object store, exceeds plasma on one box and thrashes — exactly the
+    # reason checkpointing is the documented mode at soak scale.
+    import shutil as _sh
+    import tempfile as _tf
+
+    ck = None
+    cfg = ERConfig()
+    if os.environ.get("GRAFT_SCALING_CHECKPOINT"):
+        ck = _tf.mkdtemp(prefix=f"scal_ck_{ncpu}_")
+        cfg = ERConfig(checkpoint_dir=ck, run_id="s")
     t0 = time.monotonic()
-    out = run_er(rd.read_parquet(pages_path), ERConfig())
+    out = run_er(rd.read_parquet(pages_path), cfg)
     n_scored = out["scored"].count()
     n_golden = out["golden"].count()
     wall = time.monotonic() - t0
@@ -345,9 +359,12 @@ def _scaling_child(ncpu: int) -> None:
                 "rows_per_sec": round(n_pages / wall, 1),
                 "mb_per_sec": round(in_bytes / 1e6 / wall, 2),
                 "pairs_per_sec": round(n_scored / wall, 1),
+                "checkpointed": bool(ck),
             }
         )
     )
+    if ck:
+        _sh.rmtree(ck, ignore_errors=True)
     ray.shutdown()
 
 

@@ -94,6 +94,35 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         from ..state.checkpoint import CheckpointRunner
 
         ck = CheckpointRunner(cfg.checkpoint_dir, cfg.run_id)
+    else:
+        # Uncheckpointed mode pins the whole diamond DAG (deduped +
+        # features + pairs + scored) live in the object store at once.
+        # Past roughly half of plasma that degrades into eviction /
+        # recompute thrash (measured: a 1M-page / 2.4 GB-input corpus
+        # stalls on a 128 GiB box, while the same corpus checkpointed
+        # finishes in ~300 s). Warn early — the fix is one config field.
+        try:
+            import ray as _ray
+
+            plasma = _ray.cluster_resources().get("object_store_memory", 0)
+            est = pages_ds.size_bytes() or 0
+            # intermediates ≈ 12× input bytes at web-page shapes
+            # (features sketches + pair edges + scored rows, measured
+            # at the 1M-page soak)
+            if plasma and est * 12 > plasma * 0.5:
+                import warnings
+
+                warnings.warn(
+                    f"run_er without checkpoint_dir on a ~{est/1e9:.1f} GB "
+                    "input: the materialized stage DAG may exceed the "
+                    "object store and thrash; set ERConfig.checkpoint_dir "
+                    "(partitioned-parquet stage spill + resume) for "
+                    "corpora this size.",
+                    ResourceWarning,
+                    stacklevel=2,
+                )
+        except Exception:
+            pass
 
     def stage(name, make, parents=(), params=None):
         """Stage boundary. With a checkpoint dir: parquet + manifest +
