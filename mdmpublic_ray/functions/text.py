@@ -122,6 +122,103 @@ def _encode_u32(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
+def encode_flat_u32_arrow(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string array → (flat u32 codepoints, int64 offsets[n+1]).
+
+    ONE C-level UTF-8→UTF-32 transcode of the whole values buffer —
+    no per-row Python string objects (the encode-once path demanded by
+    the round-2 review of ``stages/scoring.py``). Codepoint offsets are
+    the cumsum of ``pc.utf8_length`` (byte offsets ≠ codepoint offsets
+    for non-ASCII). Nulls encode as empty strings.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    if pa.types.is_large_string(col.type):
+        col = col.cast(pa.string())
+    n = len(col)
+    lens = np.zeros(n, dtype=np.int64) if n == 0 else (
+        pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    if n == 0 or offs[-1] == 0:
+        return np.zeros(0, dtype=np.uint32), offs
+    # StringArray buffers: [validity, int32 byte offsets, utf8 data];
+    # slice the byte range this (possibly sliced) array covers.
+    boffs = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    lo, hi = int(boffs[col.offset]), int(boffs[col.offset + n])
+    raw = col.buffers()[2].to_pybytes()[lo:hi]
+    flat = np.frombuffer(raw.decode("utf-8").encode("utf-32-le"), dtype=np.uint32)
+    return flat, offs
+
+
+def _gather_pad_u32(
+    flat: np.ndarray, offs: np.ndarray, ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rows ``ids`` of a flat u32 encoding → (zero-padded matrix, lens) —
+    the same clamped-gather trick as ``scoring.pad_sketch_column``."""
+    lens = offs[ids + 1] - offs[ids]
+    w = max(int(lens.max()) if ids.size else 0, 1)
+    cols = np.arange(w)
+    if flat.size == 0:
+        return np.zeros((ids.size, w), dtype=np.uint32), lens
+    take = offs[ids][:, None] + cols
+    np.minimum(take, flat.size - 1, out=take)
+    mat = flat[take]
+    np.copyto(mat, np.uint32(0), where=cols >= lens[:, None])
+    return mat, lens
+
+
+def jaro_winkler_coded(
+    flat: np.ndarray,
+    offs: np.ndarray,
+    ca: np.ndarray,
+    cb: np.ndarray,
+    prefix_weight: float = 0.1,
+    chunk: int = 2048,
+) -> np.ndarray:
+    """``jaro_winkler_batch`` over PRE-ENCODED strings: ``flat``/``offs``
+    is a dictionary of distinct strings (``encode_flat_u32_arrow``), and
+    ``ca``/``cb`` are per-pair indices into it. Identical values to the
+    string-list kernel, zero Python strings:
+
+    - equal codes ⇒ equal strings ⇒ 1.0 (dictionary is distinct);
+    - distinct (ca, cb) combos computed once (np.unique on the packed
+      key — the list kernel's memo dict, vectorized);
+    - combos run in length-sorted chunks, each padded only to ITS max
+      width (one outlier string doesn't widen every row's matrices).
+    """
+    n = ca.size
+    out = np.ones(n, dtype=np.float64)
+    ne = np.nonzero(ca != cb)[0]
+    if ne.size == 0:
+        return out
+    nstr = np.int64(offs.size - 1)
+    key = ca[ne].astype(np.int64) * nstr + cb[ne].astype(np.int64)
+    ukey, inv = np.unique(key, return_inverse=True)
+    ua = (ukey // nstr).astype(np.int64)
+    ub = (ukey % nstr).astype(np.int64)
+    vals = np.empty(ua.size, dtype=np.float64)
+    lens = offs[1:] - offs[:-1]
+    order = np.argsort(np.maximum(lens[ua], lens[ub]), kind="stable")
+    for s in range(0, order.size, chunk):
+        sel = order[s : s + chunk]
+        A, la = _gather_pad_u32(flat, offs, ua[sel])
+        B, lb = _gather_pad_u32(flat, offs, ub[sel])
+        j = _jaro_batch_core(A, la, B, lb)
+        p = min(4, A.shape[1], B.shape[1])
+        eqp = (A[:, :p] == B[:, :p]) & (np.arange(p) < np.minimum(la, lb)[:, None])
+        prefix = np.cumprod(eqp, axis=1).sum(axis=1)
+        vals[sel] = j + prefix * prefix_weight * (1.0 - j)
+    out[ne] = vals[inv]
+    return out
+
+
 def _jaro_batch_core(A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray) -> np.ndarray:
     """Vectorized Jaro over codepoint matrices; bit-identical to ``jaro``
     for non-equal string pairs (the s1 == s2 fast path is the caller's).

@@ -5,9 +5,10 @@ Features are joined onto pairs with Ray's hash-shuffle ``Dataset.join``
 (both sides large ⇒ no broadcast). The scorer itself is a stateless
 ``map_batches`` whose kernels are fully batch-vectorized: bottom-k
 Jaccard as one sort + adjacent-duplicate count over a padded uint64
-matrix, Jaro-Winkler as a numpy char-position scan (see
-``functions.text.jaro_winkler_batch``) — no per-pair Python in the hot
-path.
+matrix, Jaro-Winkler as a numpy char-position scan over
+dictionary-coded strings (``functions.text.jaro_winkler_coded`` —
+strings are transcoded to u32 codepoints ONCE, at broadcast build or
+per batch side, never per pair) — no per-pair Python in the hot path.
 """
 
 from __future__ import annotations
@@ -17,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.text import jaro_winkler_batch
+from ..functions.text import encode_flat_u32_arrow, jaro_winkler_coded
 
 # score = weighted blend; is_match is thresholded on the blend.
 W_JACCARD, W_TITLE, W_URL = 0.7, 0.2, 0.1
@@ -224,42 +225,27 @@ def score_pairs(
     def score(batch: pa.Table) -> pa.Table:
         mat_a, len_a = pad_sketch_column(batch["sketch_a"])
         mat_b, len_b = pad_sketch_column(batch["sketch_b"])
-        return _score_kernel(
-            batch["url_a"].to_pylist(),
-            batch["url_b"].to_pylist(),
-            batch["title_a"].to_pylist(),
-            batch["title_b"].to_pylist(),
-            mat_a, len_a, mat_b, len_b,
-            threshold,
-            sketch_k,
+        jac = sketch_jaccard_batch(mat_a, len_a, mat_b, len_b, sketch_k)
+        jwt = _jw_arrow(batch["title_a"], batch["title_b"])
+        jwu = _jw_arrow(batch["url_a"], batch["url_b"])
+        sc = W_JACCARD * jac + W_TITLE * jwt + W_URL * jwu
+        # output urls in lexicographic order, Arrow-native (pair identity
+        # is uid-ordered upstream; all three features are symmetric)
+        ua, ub = batch["url_a"].combine_chunks(), batch["url_b"].combine_chunks()
+        lt = pc.less_equal(ua, ub)
+        return pa.table(
+            {
+                "url_a": pc.if_else(lt, ua, ub),
+                "url_b": pc.if_else(lt, ub, ua),
+                "jaccard": pa.array(jac),
+                "jw_title": pa.array(jwt),
+                "jw_url": pa.array(jwu),
+                "score": pa.array(sc),
+                "is_match": pa.array(sc >= threshold),
+            }
         )
 
     return joined.map_batches(score, batch_format="pyarrow")
-
-
-def _score_kernel(
-    ua, ub, ta, tb, mat_a, len_a, mat_b, len_b, threshold: float, sketch_k: int
-) -> pa.Table:
-    """``mat_a``/``mat_b``: (n × k) uint64 sketch matrices padded with
-    ``SKETCH_PAD``; ``len_a``/``len_b`` valid widths. All three scoring
-    features are symmetric, so sides are scored as given and only the
-    OUTPUT urls are emitted in lexicographic order (pair identity is
-    uid-ordered upstream)."""
-    jac = sketch_jaccard_batch(mat_a, len_a, mat_b, len_b, sketch_k)
-    jwt = jaro_winkler_batch(ta, tb)
-    jwu = jaro_winkler_batch(ua, ub)
-    sc = W_JACCARD * jac + W_TITLE * jwt + W_URL * jwu
-    return pa.table(
-        {
-            "url_a": pa.array(list(map(min, ua, ub)), pa.string()),
-            "url_b": pa.array(list(map(max, ua, ub)), pa.string()),
-            "jaccard": pa.array(jac),
-            "jw_title": pa.array(jwt),
-            "jw_url": pa.array(jwu),
-            "score": pa.array(sc),
-            "is_match": pa.array(sc >= threshold),
-        }
-    )
 
 
 # Per-worker-process cache of the broadcast feature table, keyed by the
@@ -281,26 +267,34 @@ def _feat_payload(features_ref):
     return _FEAT_CACHE[key]
 
 
-def _jw_arrow(a: pa.Array, b: pa.Array) -> np.ndarray:
-    """Jaro-Winkler over two Arrow string arrays: vectorized equality
-    short-circuit (no Python string round-trip for identical pairs —
-    repeated titles dominate candidate batches), then the memoized
-    batch kernel over only the non-equal rows."""
+def _jw_arrow(a, b) -> np.ndarray:
+    """Jaro-Winkler over two Arrow string arrays with ZERO Python string
+    round-trips: dictionary-encode the concatenation (equal strings ⇒
+    equal codes), transcode the distinct values once
+    (``encode_flat_u32_arrow``), then run the coded kernel — equality
+    short-circuit, combo dedup and length-sorted chunking all happen on
+    integer codes (round-2 review item: ``to_pylist`` dropped)."""
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
     n = len(a)
-    out = np.ones(n, dtype=np.float64)
-    ne = np.nonzero(~pc.equal(a, b).to_numpy(zero_copy_only=False))[0]
-    if ne.size:
-        sel = pa.array(ne)
-        out[ne] = jaro_winkler_batch(
-            a.take(sel).to_pylist(), b.take(sel).to_pylist()
-        )
-    return out
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    if a.null_count:
+        a = pc.fill_null(a, "")
+    if b.null_count:
+        b = pc.fill_null(b, "")
+    d = pc.dictionary_encode(pa.concat_arrays([a, b]))
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, offs = encode_flat_u32_arrow(d.dictionary)
+    return jaro_winkler_coded(flat, offs, codes[:n], codes[n:])
 
 
 def _score_broadcast_batch(
     batch: pa.Table, features_ref, threshold: float, sketch_k: int
 ) -> pa.Table:
-    uids, urls, titles, mat, lens = _feat_payload(features_ref)
+    uids, urls, upack, tpack, mat, lens = _feat_payload(features_ref)
     ia = np.searchsorted(uids, batch["uid_a"].to_numpy(zero_copy_only=False))
     ib = np.searchsorted(uids, batch["uid_b"].to_numpy(zero_copy_only=False))
     # score each DISTINCT (uid_a, uid_b) once — hot-host sub-blocks and
@@ -310,13 +304,13 @@ def _score_broadcast_batch(
     ukey, inv = np.unique(key, return_inverse=True)
     uia = (ukey // len(uids)).astype(np.int64)
     uib = (ukey % len(uids)).astype(np.int64)
-    ta = titles.take(pa.array(uia))
-    tb = titles.take(pa.array(uib))
-    ua = urls.take(pa.array(uia))
-    ub = urls.take(pa.array(uib))
     jac = sketch_jaccard_batch(mat[uia], lens[uia], mat[uib], lens[uib], sketch_k)[inv]
-    jwt = _jw_arrow(ta, tb)[inv]
-    jwu = _jw_arrow(ua, ub)[inv]
+    # url/title strings were dictionary-coded + u32-transcoded ONCE at
+    # broadcast build; per batch the JW kernel sees only integer codes.
+    tcodes, tflat, toffs = tpack
+    ucodes, uflat, uoffs = upack
+    jwt = jaro_winkler_coded(tflat, toffs, tcodes[uia], tcodes[uib])[inv]
+    jwu = jaro_winkler_coded(uflat, uoffs, ucodes[uia], ucodes[uib])[inv]
     sc = W_JACCARD * jac + W_TITLE * jwt + W_URL * jwu
     # output urls in lexicographic order, Arrow-native (pair identity is
     # uid-ordered upstream; all three features are symmetric)
@@ -374,11 +368,26 @@ def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int):
         sk.buffers()[1], dtype=np.uint64, count=len(sk) * sketch_k,
         offset=sk.offset * sketch_k * 8,
     ).reshape(len(sk), sketch_k)
+    def _pack(col: pa.Array):
+        """Dictionary-code + u32-transcode a string column ONCE (driver
+        side, per run) so scorer batches never touch Python strings."""
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        d = pc.dictionary_encode(col)
+        flat, offs = encode_flat_u32_arrow(d.dictionary)
+        return (
+            d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            flat,
+            offs,
+        )
+
+    urls_arr = tbl["url"].combine_chunks()
     ref = ray.put(
         (
             tbl["uid"].to_numpy(zero_copy_only=False),
-            tbl["url"].combine_chunks(),
-            tbl["title"].combine_chunks(),
+            urls_arr,  # kept for emitting output url strings
+            _pack(urls_arr),
+            _pack(tbl["title"].combine_chunks()),
             mat,
             tbl["slen"].to_numpy(zero_copy_only=False),
         )

@@ -119,6 +119,40 @@ def test_jaro_winkler_batch_matches_scalar(pairs):
         assert got[i] == T.jaro_winkler(a, b)
 
 
+@given(st.lists(st.tuples(texts, texts), min_size=1, max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_jaro_winkler_coded_matches_scalar(pairs):
+    """The encode-once (dictionary-coded) kernel is bit-identical to the
+    scalar on arbitrary unicode, including empty/equal/prefix cases."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    a = pa.array([x for x, _ in pairs], pa.string())
+    b = pa.array([y for _, y in pairs], pa.string())
+    d = pc.dictionary_encode(pa.concat_arrays([a, b]))
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, offs = T.encode_flat_u32_arrow(d.dictionary)
+    # the transcode round-trips every distinct string
+    for i, s in enumerate(d.dictionary.to_pylist()):
+        assert flat[offs[i] : offs[i + 1]].tolist() == [ord(c) for c in s]
+    n = len(pairs)
+    got = T.jaro_winkler_coded(flat, offs, codes[:n], codes[n:], chunk=7)
+    for i, (x, y) in enumerate(pairs):
+        assert got[i] == T.jaro_winkler(x, y)
+
+
+def test_jw_arrow_matches_scalar_with_nulls_and_chunks():
+    import pyarrow as pa
+
+    from mdmpublic_ray.stages.scoring import _jw_arrow
+
+    a = pa.chunked_array([["abc", None], ["héllo wörld", "", "same"]])
+    b = pa.chunked_array([["abd"], [None, "hello world", "x", "same"]])
+    got = _jw_arrow(a, b)
+    exp = [T.jaro_winkler(x or "", y or "") for x, y in zip(a.to_pylist(), b.to_pylist())]
+    assert got.tolist() == exp
+
+
 sketch_sets = st.lists(
     st.integers(min_value=0, max_value=2**64 - 1), max_size=40, unique=True
 )
