@@ -1203,8 +1203,12 @@ def q_docs_distinct_tokens_hll(sf_dir: str):
     """HyperLogLog distinct-token estimate (functions/hll.py — the
     shuffle-free 100-TB path of ``docs_distinct_tokens``): each batch
     folds its tokens into 2^14 registers, #blocks register arrays
-    max-merge on the driver (16 KB each). Rows-only; the error bound vs
-    the exact operator is asserted in tests/test_hll.py."""
+    max-merge on the driver (16 KB each). Rows-only BY DESIGN — a
+    probabilistic sketch has no exact SQL twin, so the driver's
+    CORRECTNESS file shows ``no_oracle`` for this entry (NOT a failure);
+    the exact counterpart is ``docs_distinct_tokens`` (oracle-backed)
+    and the sketch's error bound vs it is asserted in
+    tests/test_hll.py."""
     from ..functions.hll import hll_estimate, hll_fold, hll_merge
 
     ds = read_table(sf_dir, "documents", columns=["text"])
