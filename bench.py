@@ -378,8 +378,14 @@ def _scaling() -> None:
     here = os.path.abspath(__file__)
     _scaling_corpus()  # generate once, outside the timed children
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    # Default 8→32; GRAFT_SCALING_WIDTHS="4,16" measures the same 4×
+    # factor at widths where the box's shared memory bus is NOT yet
+    # saturated — the closer single-box analog of adding NODES.
+    lo, hi = (
+        int(w) for w in os.environ.get("GRAFT_SCALING_WIDTHS", "8,32").split(",")
+    )
     out = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         runs = []
         for _ in range(repeats):
             r = subprocess.run(
@@ -400,25 +406,25 @@ def _scaling() -> None:
             "best": min(walls),
             "spread_sec": round(max(walls) - min(walls), 3),
         }
-    t8, t32 = out[8]["wall_sec"], out[32]["wall_sec"]
-    c8, c32 = out[8]["compute_section_sec"], out[32]["compute_section_sec"]
-    eff = (t8 / t32) / (32 / 8)
-    eff_c = (c8 / c32) / (32 / 8)
+    t8, t32 = out[lo]["wall_sec"], out[hi]["wall_sec"]
+    c8, c32 = out[lo]["compute_section_sec"], out[hi]["compute_section_sec"]
+    eff = (t8 / t32) / (hi / lo)
+    eff_c = (c8 / c32) / (hi / lo)
     print(
         json.dumps(
             {
-                "metric": "scaling_efficiency_8_to_32_cpus",
+                "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
                 "job": "full ER pipeline, fixed input (strong scaling)",
-                "pages": out[8]["pages"],
-                "input_mb": out[8]["input_mb"],
-                "sec_8": t8,
-                "sec_32": t32,
-                "throughput_8_rows_per_sec": out[8]["rows_per_sec"],
-                "throughput_32_rows_per_sec": out[32]["rows_per_sec"],
-                "pairs_per_sec_32": out[32]["pairs_per_sec"],
+                "pages": out[lo]["pages"],
+                "input_mb": out[lo]["input_mb"],
+                f"sec_{lo}": t8,
+                f"sec_{hi}": t32,
+                f"throughput_{lo}_rows_per_sec": out[lo]["rows_per_sec"],
+                f"throughput_{hi}_rows_per_sec": out[hi]["rows_per_sec"],
+                f"pairs_per_sec_{hi}": out[hi]["pairs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
-                "compute_section_sec_8": c8,
-                "compute_section_sec_32": c32,
+                f"compute_section_sec_{lo}": c8,
+                f"compute_section_sec_{hi}": c32,
                 "compute_section_efficiency": round(eff_c, 3),
                 "target": 0.8,
                 "note": (

@@ -73,6 +73,13 @@ class ERConfig:
     dedup_winner_broadcast_rows: int = 5_000_000
     checkpoint_dir: str | None = None  # per-stage parquet + manifests
     run_id: str = "run0"
+    # beyond-broadcast scoring: when the feature table exceeds the
+    # broadcast threshold, probe a uid-bucketed parquet feature store
+    # (stages/featurestore.py — pairs-only shuffle) instead of the
+    # two-join fallback. None → derived as <checkpoint_dir>/<run_id>/
+    # feature_store when a checkpoint dir is set (the store IS a stage
+    # artifact); set explicitly for store-only reuse across runs.
+    feature_store_dir: str | None = None
 
 
 def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
@@ -320,11 +327,17 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             # empty datasets lose their schema through groupby shuffles;
             # joins on them fail — emit a typed empty result instead.
             return rd.from_arrow(scored_schema().empty_table())
+        store = cfg.feature_store_dir
+        if store is None and cfg.checkpoint_dir:
+            import os as _os
+
+            store = _os.path.join(cfg.checkpoint_dir, cfg.run_id, "feature_store")
         return score_pairs(
             pairs,
             features,
             num_partitions=cfg.num_partitions,
             threshold=cfg.threshold,
+            feature_store_dir=store,
         )
 
     scored = stage(

@@ -121,12 +121,13 @@ def pad_sketch_column(col, width: int | None = None) -> tuple[np.ndarray, np.nda
 # broadcast-vs-shuffle join selection every planner does on side size.
 # Budget is BYTES, not rows: a feature row is ~1.4 KB (sketch_k×8 + url/
 # title), so 1M rows ≈ 1.4 GB — one shared-memory copy per NODE, fine on
-# 128 GB workers. The shuffle join is the fallback beyond that, but note
-# its cost shape: the joined intermediate carries BOTH sketches per pair
-# (~2.7 KB × pairs — measured 65 GB through the shuffle for a 24M-pair
-# corpus, vs a 310 MB broadcast). The true beyond-broadcast design is a
-# bucketed on-disk feature store probed per pair partition; until feature
-# tables exceed node memory, broadcast is strictly better.
+# 128 GB workers. Beyond it prefer the bucketed on-disk feature store
+# (stages/featurestore.py): pairs-only shuffle + per-task bucket probe —
+# pass ``feature_store_dir`` to get that plan. The two shuffle joins
+# remain the store-less fallback; their cost shape is bad at web scale
+# (the joined intermediate carries BOTH sketches per pair, ~2.7 KB ×
+# pairs — measured 65 GB through the shuffle for a 24M-pair corpus, vs
+# a 310 MB broadcast / a pairs-sized store shuffle).
 BROADCAST_FEATURES_THRESHOLD = 1_000_000
 
 
@@ -155,14 +156,18 @@ def score_pairs(
     threshold: float = DEFAULT_THRESHOLD,
     sketch_k: int = 160,
     broadcast_threshold: int = BROADCAST_FEATURES_THRESHOLD,
+    feature_store_dir: str | None = None,
 ):
     """pairs(url_a, url_b) ⋈ features ×2 → scored pairs
     (url_a, url_b, jaccard, jw_title, jw_url, score, is_match).
 
     Physical plan is size-aware: features under ``broadcast_threshold``
     rows ride the object store into a scorer actor pool (zero shuffles);
-    larger features go through two bucketed hash joins. Pass
-    ``broadcast_threshold=0`` to force the shuffle path (tests do).
+    larger features use the bucketed feature store when
+    ``feature_store_dir`` is given (written there if absent — pairs-only
+    shuffle, per-task bucket probe, stages/featurestore.py), else two
+    bucketed hash joins. Pass ``broadcast_threshold=0`` to force a
+    non-broadcast path (tests do).
     """
     from .util import default_partitions
 
@@ -188,6 +193,20 @@ def score_pairs(
     # features is a materialized stage in run_er → count() is free
     if broadcast_threshold and features_ds.count() <= broadcast_threshold:
         return _score_broadcast(pairs_ds, features_ds, threshold, sketch_k)
+    if feature_store_dir:
+        import os as _os
+
+        from .featurestore import (
+            META_NAME,
+            score_pairs_store,
+            write_feature_store,
+        )
+
+        if not _os.path.exists(_os.path.join(feature_store_dir, META_NAME)):
+            write_feature_store(features_ds, feature_store_dir)
+        return score_pairs_store(
+            pairs_ds, feature_store_dir, threshold=threshold, sketch_k=sketch_k
+        )
     fa = features_ds.map_batches(
         lambda t: pa.table(
             {"uid_fa": t["uid"], "url_a": t["url"], "title_a": t["title"],
