@@ -1760,6 +1760,35 @@ def q_er_golden(sf_dir: str):
     return _er_outputs(sf_dir)["golden"]
 
 
+def q_er_scored_store(sf_dir: str):
+    """Scored candidate pairs via the bucketed FEATURE-STORE plan
+    (stages/featurestore.py): features persisted as uid-bucketed
+    parquet, only 16-byte uid pairs shuffled, each task probing the ≤2
+    store buckets of its (bucket_a, bucket_b) group through a
+    per-worker LRU decode cache — the beyond-broadcast physical plan
+    for feature tables past node memory. Rows-only BY DESIGN: the
+    result is DEFINED to equal the broadcast scorer's output, and that
+    equality is asserted exactly (values included) in
+    tests/test_featurestore.py; this entry gives the plan a
+    driver-visible row over the same documents-derived corpus."""
+    import shutil
+    import tempfile
+
+    from ..stages.featurestore import score_pairs_store, write_feature_store
+    from ..stages.scoring import DEFAULT_THRESHOLD
+
+    out = _er_outputs(sf_dir)
+    d = tempfile.mkdtemp(prefix="q_fstore_")
+    try:
+        write_feature_store(out["features"], d, n_buckets=8)
+        # materialize before the store files are deleted
+        return score_pairs_store(
+            out["pairs"], d, threshold=DEFAULT_THRESHOLD
+        ).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_er_clusters_oracle(sf_dir: str):
     """END-TO-END SQL oracle for the flagship ER pipeline (the first
     driver-checkable ``er_*`` row): run the REAL pipeline — dedup-latest,
@@ -4125,6 +4154,7 @@ QUERIES = {
     "log_privileged_accepts": q_log_privileged_accepts,
     "hosts_any_invalid": q_hosts_any_invalid,
     "api_endpoint_stats": q_api_endpoint_stats,
+    "er_scored_store": q_er_scored_store,
 }
 
 ORACLE_SQL = {
