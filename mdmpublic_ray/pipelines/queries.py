@@ -2044,6 +2044,54 @@ def q_pages_media_features(sf_dir: str):
     return media_features_stage(rd.from_arrow(synth_image_table(n_docs)))
 
 
+def q_pages_audio_features(sf_dir: str):
+    """Multimodal audio decode: REAL RIFF/WAVE PCM parsing (stages/av.py
+    AudioDecoder — struct + numpy, 8/16-bit, mono/stereo, proper chunk
+    walking) through an actor-pool stage over a deterministic fixture of
+    actual encoded WAVs (sine tones with closed-form RMS/ZCR truth; every
+    10th payload is non-audio and degrades to an 'unsupported' row).
+    Rows-only: byte-level decode has no SQL form; encode→decode and
+    signal-stat exactness are pinned by tests/test_av.py."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.av import audio_features_stage, synth_audio_table
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return audio_features_stage(rd.from_arrow(synth_audio_table(n_docs)))
+
+
+def q_pages_video_frames(sf_dir: str):
+    """Multimodal frame sampling: uniform every-k / max-n frame selection
+    over a length-prefixed frame-concat container (FCV1), sampled frames
+    PNG-decoded per frame with timestamps and luminance stats — one
+    output row per SAMPLED frame, expansion inside map_batches (never on
+    the driver). Rows-only; sampling/timestamp/brightness-ramp semantics
+    are pinned by tests/test_av.py."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.av import synth_video_table, video_frame_sample_stage
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return video_frame_sample_stage(rd.from_arrow(synth_video_table(n_docs)))
+
+
+def q_pages_media_thumbs(sf_dir: str):
+    """Multimodal resize: decode (PNG/BMP) + nearest-neighbor resize to a
+    fixed 16×16 thumbnail, emitting the raw thumb bytes as a binary
+    column for downstream fixed-shape consumers (stages/media.py
+    Thumbnailer). Rows-only; gather-exactness vs a numpy reference is
+    pinned by tests/test_av.py."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.media import media_thumbnails_stage, synth_image_table
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return media_thumbnails_stage(rd.from_arrow(synth_image_table(n_docs)))
+
+
 # --------------------------------------------------------------------------
 # Text-line log parsing (S5/S13 read_text source; M11 multi-pattern parse
 # + coalesce; M12 humanized durations) over the deterministic auth-log
@@ -4155,6 +4203,9 @@ QUERIES = {
     "hosts_any_invalid": q_hosts_any_invalid,
     "api_endpoint_stats": q_api_endpoint_stats,
     "er_scored_store": q_er_scored_store,
+    "pages_audio_features": q_pages_audio_features,
+    "pages_video_frames": q_pages_video_frames,
+    "pages_media_thumbs": q_pages_media_thumbs,
 }
 
 ORACLE_SQL = {

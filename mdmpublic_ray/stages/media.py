@@ -352,6 +352,86 @@ def synth_image_table(n: int, *, seed: int = 7) -> pa.Table:
     return pa.table({"url": pa.array(urls, pa.string()), "payload": pa.array(payloads, pa.binary())})
 
 
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, ch) uint8 array via a pure
+    numpy index gather (pixel-center sampling, the classic NN mapping
+    src = floor((dst + 0.5) * scale))."""
+    h, w = px.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * (h / out_h)).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * (w / out_w)).astype(np.int64), w - 1)
+    return px[ys][:, xs]
+
+
+THUMB_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("format", pa.string()),
+        ("src_width", pa.int64()),
+        ("src_height", pa.int64()),
+        ("thumb_width", pa.int64()),
+        ("thumb_height", pa.int64()),
+        ("channels", pa.int64()),
+        ("thumb", pa.binary()),  # row-major uint8, h*w*ch bytes
+        ("mean_lum", pa.float64()),
+    ]
+)
+
+
+class Thumbnailer:
+    """Decode + resize to a fixed thumbnail (the 'resize' leg of the
+    multimodal story): emits the raw thumbnail bytes as a binary column
+    so a downstream stage (embedding model, perceptual hash) can consume
+    fixed-shape input without re-decoding. Unsupported payloads degrade
+    per-row to an empty thumb."""
+
+    def __init__(self, *, thumb_h: int = 16, thumb_w: int = 16) -> None:
+        self.th, self.tw = thumb_h, thumb_w
+        self._sniffers = ((_PNG_SIG[:4], "png", _decode_png), (b"BM", "bmp", _decode_bmp))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {name: [] for name in THUMB_SCHEMA.names}
+        urls = batch["url"].to_pylist()
+        for url, payload in zip(urls, batch["payload"].to_pylist()):
+            b = payload or b""
+            fmt, decoded = "unsupported", None
+            for magic, name, fn in self._sniffers:
+                if b.startswith(magic):
+                    decoded = fn(b)
+                    fmt = name if decoded is not None else "unsupported"
+                    break
+            rows["url"].append(url)
+            rows["format"].append(fmt)
+            if decoded is None:
+                for k in ("src_width", "src_height", "thumb_width", "thumb_height", "channels"):
+                    rows[k].append(0)
+                rows["thumb"].append(b"")
+                rows["mean_lum"].append(0.0)
+                continue
+            w, h, ch, px = decoded
+            thumb = resize_nearest(px.reshape(h, w, ch), self.th, self.tw)
+            rows["src_width"].append(w)
+            rows["src_height"].append(h)
+            rows["thumb_width"].append(self.tw)
+            rows["thumb_height"].append(self.th)
+            rows["channels"].append(ch)
+            rows["thumb"].append(thumb.tobytes())
+            rows["mean_lum"].append(float(_luminance(thumb.reshape(self.th, -1), ch).mean()))
+        return pa.table(rows, schema=THUMB_SCHEMA)
+
+
+def media_thumbnails_stage(ds, *, thumb_h: int = 16, thumb_w: int = 16,
+                           batch_size: int = 128, concurrency=(1, 4)):
+    """(url, payload: binary) → fixed-size thumbnails (``THUMB_SCHEMA``)."""
+    return ds.map_batches(
+        Thumbnailer,
+        fn_constructor_kwargs={"thumb_h": thumb_h, "thumb_w": thumb_w},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def media_features_stage(ds, *, batch_size: int = 128, concurrency=(1, 4), real: bool = True):
     """(url, payload: binary) → typed feature rows (``MEDIA_SCHEMA`` for
     the real decoder). Small batch_size: payloads are wide binary rows —
