@@ -2077,6 +2077,25 @@ def q_pages_video_frames(sf_dir: str):
     return video_frame_sample_stage(rd.from_arrow(synth_video_table(n_docs)))
 
 
+def q_pages_image_dedup(sf_dir: str):
+    """Perceptual-hash image dedup: 64-bit dHash (luminance → 8×9
+    nearest-neighbor reduce → gradient sign) per decoded payload, then
+    one hash-bucketed exchange groups PIXEL-identical images across
+    encodings — the planted fixture re-encodes each dup family as PNG
+    filter 0 / PNG filter 4 / BMP, three distinct byte digests that only
+    the pixel-level key can pair (stages/media.py image_dedup_stage).
+    Output: one row per duplicate group with deterministic keeper,
+    n_copies and n_encodings. Rows-only: pixel decode + packbits have no
+    SQL form; planted-truth recovery is pinned by tests/test_av.py."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.media import image_dedup_stage, synth_dup_image_table
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return image_dedup_stage(rd.from_arrow(synth_dup_image_table(n_docs)))
+
+
 def q_pages_media_thumbs(sf_dir: str):
     """Multimodal resize: decode (PNG/BMP) + nearest-neighbor resize to a
     fixed 16×16 thumbnail, emitting the raw thumb bytes as a binary
@@ -4206,6 +4225,7 @@ QUERIES = {
     "pages_audio_features": q_pages_audio_features,
     "pages_video_frames": q_pages_video_frames,
     "pages_media_thumbs": q_pages_media_thumbs,
+    "pages_image_dedup": q_pages_image_dedup,
 }
 
 ORACLE_SQL = {

@@ -32,6 +32,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -430,6 +431,116 @@ def media_thumbnails_stage(ds, *, thumb_h: int = 16, thumb_w: int = 16,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash (dHash) image dedup
+# --------------------------------------------------------------------------
+
+
+def dhash64(px: np.ndarray, ch: int) -> int:
+    """64-bit difference hash: luminance → 8×9 nearest-neighbor reduce →
+    horizontal gradient sign → 64 bits. Encoding-invariant: any payload
+    with the same pixels (PNG vs BMP, any scanline filter) hashes
+    identically, so grouping by dhash finds duplicates a byte digest
+    can never pair."""
+    h, w = px.shape[0], px.shape[1] // ch
+    lum = _luminance(px, ch).reshape(h, w)
+    small = resize_nearest(lum[:, :, None], 8, 9)[:, :, 0]
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class PerceptualHasher:
+    """(url, payload) → (url, format, dhash, digest). dhash is the
+    pixel-level identity key; digest is the byte-level one — rows where
+    the two disagree across a group are re-encodes of the same image."""
+
+    def __init__(self) -> None:
+        self._sniffers = ((_PNG_SIG[:4], "png", _decode_png), (b"BM", "bmp", _decode_bmp))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        fmts, hashes, digests = [], [], []
+        for b in batch["payload"].to_pylist():
+            b = b or b""
+            fmt, decoded = "unsupported", None
+            for magic, name, fn in self._sniffers:
+                if b.startswith(magic):
+                    decoded = fn(b)
+                    fmt = name if decoded is not None else "unsupported"
+                    break
+            fmts.append(fmt)
+            digests.append(hashlib.blake2b(b, digest_size=8).hexdigest())
+            if decoded is None:
+                hashes.append(None)
+                continue
+            w, h, ch, px = decoded
+            hashes.append(np.int64(np.uint64(dhash64(px, ch))).item())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "format": pa.array(fmts, pa.string()),
+                "dhash": pa.array(hashes, pa.int64()),
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+
+def image_dedup_stage(ds, *, batch_size: int = 128, concurrency=(1, 4)):
+    """Cross-encoding image dedup: hash every payload (actor-pool map),
+    then one hash-bucketed exchange groups pixel-identical images —
+    exactly the exact-dedup plan (D3) with dhash as the content key.
+    Emits one row per duplicate GROUP (n_copies ≥ 2): the keeper (first
+    url in lexical order — deterministic survivorship), copy count, and
+    how many distinct byte digests the group spans (re-encodes)."""
+    from .util import grouped_agg
+
+    hashed = ds.map_batches(
+        PerceptualHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t["dhash"])), batch_format="pyarrow"
+    )
+
+    groups = grouped_agg(
+        hashed,
+        ["dhash"],
+        {
+            "keeper_url": ("url", "min"),
+            "n_copies": ("url", "count"),
+            "n_encodings": ("digest", "nunique"),
+        },
+    )
+    return groups.filter(expr="n_copies >= 2")
+
+
+def synth_dup_image_table(n_families: int, *, seed: int = 17) -> pa.Table:
+    """Deterministic fixture with PLANTED cross-encoding duplicates:
+    every 3rd family is one RGB image re-encoded 3 ways with different
+    bytes (PNG filter 0, PNG filter 4, BMP) — same pixels, three
+    distinct byte digests; the rest are singletons. Ground truth:
+    ``n_families // 3 + (1 if n_families % 3 else 0)`` … computed the
+    simple way in tests: families ≡ 0 (mod 3) are the dup groups."""
+    rng = np.random.default_rng(seed)
+    urls, payloads = [], []
+    for i in range(n_families):
+        w = 10 + int(rng.integers(0, 15))
+        h = 8 + int(rng.integers(0, 11))
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        if i % 3 == 0:
+            for j, blob in enumerate(
+                (encode_png(rgb, filter_type=0), encode_png(rgb, filter_type=4), encode_bmp(rgb))
+            ):
+                urls.append(f"https://img.example/f{i}/v{j}")
+                payloads.append(blob)
+        else:
+            urls.append(f"https://img.example/f{i}/v0")
+            payloads.append(encode_png(rgb, filter_type=i % 5))
+    return pa.table({"url": pa.array(urls, pa.string()), "payload": pa.array(payloads, pa.binary())})
 
 
 def media_features_stage(ds, *, batch_size: int = 128, concurrency=(1, 4), real: bool = True):

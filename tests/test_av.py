@@ -219,6 +219,46 @@ def test_thumbnailer_fixed_shape_and_degradation():
     assert df.loc[1, "thumb"] == b"" and df.loc[1, "src_width"] == 0
 
 
+def test_dhash_encoding_invariant_and_discriminative():
+    from mdmpublic_ray.stages.media import (
+        _decode_bmp,
+        _decode_png,
+        dhash64,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, size=(14, 19, 3), dtype=np.uint8)
+    hashes = set()
+    for blob, dec in (
+        (encode_png(rgb, filter_type=0), _decode_png),
+        (encode_png(rgb, filter_type=3), _decode_png),
+        (encode_bmp(rgb), _decode_bmp),
+    ):
+        w, h, ch, px = dec(blob)
+        hashes.add(dhash64(px, ch))
+    assert len(hashes) == 1  # same pixels → same hash, any encoding
+    other = rng.integers(0, 256, size=(14, 19, 3), dtype=np.uint8)
+    assert dhash64(other.reshape(14, -1), 3) not in hashes
+
+
+def test_image_dedup_planted_truth(ray_session):
+    import ray.data as rd
+
+    from mdmpublic_ray.stages.media import image_dedup_stage, synth_dup_image_table
+
+    n_fam = 30
+    df = image_dedup_stage(rd.from_arrow(synth_dup_image_table(n_fam))).to_pandas()
+    # families ≡ 0 (mod 3) are the planted dup groups: 3 copies each,
+    # 3 distinct byte encodings, keeper = lexically-first variant url
+    assert len(df) == 10
+    assert (df["n_copies"] == 3).all()
+    assert (df["n_encodings"] == 3).all()
+    assert sorted(df["keeper_url"]) == sorted(
+        f"https://img.example/f{i}/v0" for i in range(0, n_fam, 3)
+    )
+
+
 def test_thumbnail_stage(ray_session):
     import ray.data as rd
 
