@@ -80,6 +80,20 @@ class ERConfig:
     # feature_store when a checkpoint dir is set (the store IS a stage
     # artifact); set explicitly for store-only reuse across runs.
     feature_store_dir: str | None = None
+    # optional cosine-over-embedding scoring signal (north-star scoring
+    # recipe: JW on url/title + token-Jaccard + cosine-over-embedding on
+    # text). emb_dim > 0 adds a hashed-text-embedding column to features
+    # (blocking.hashed_embeddings_batch); emb_weight > 0 blends its
+    # per-pair cosine into the score: (1-w)·base + w·cos, plus a
+    # cos_text output column. Default OFF: on this corpus the hashed
+    # unigram cosine is informationally redundant with the shingle-
+    # sketch jaccard (same token evidence), so the default score keeps
+    # the published weights; a deployment with MODEL embeddings flips
+    # these on to use semantic similarity the sketches cannot see.
+    # Not supported by the incremental path or the feature store
+    # (both refuse loudly rather than silently dropping the signal).
+    emb_dim: int = 0
+    emb_weight: float = 0.0
 
 
 def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
@@ -94,6 +108,11 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
     from ..stages.util import default_partitions
 
     cfg = cfg or ERConfig()
+    if cfg.emb_weight and not cfg.emb_dim:
+        raise ValueError(
+            "ERConfig.emb_weight > 0 requires emb_dim > 0 (the features "
+            "stage must produce the emb column the scorer consumes)"
+        )
     if cfg.num_partitions is None:
         cfg.num_partitions = default_partitions()
     ck = None
@@ -231,7 +250,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         params={"extract_before_dedup": cfg.extract_before_dedup},
     )
     if deduped.count() == 0:
-        return _empty_outputs()
+        return _empty_outputs(cfg)
 
     # hot-host discovery only needs `deduped` — run it on a driver thread
     # CONCURRENTLY with the features stage (independent datasets, separate
@@ -257,10 +276,13 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
     features = stage(
         "features",
         lambda: features_stage(
-            deduped, concurrency=cfg.features_concurrency, seed=cfg.seed
+            deduped, concurrency=cfg.features_concurrency, seed=cfg.seed,
+            emb_dim=cfg.emb_dim,
         ),
         parents=("deduped",),
-        params={"seed": cfg.seed},
+        # emb_dim in the digest only when enabled: default runs keep
+        # their round-1/2 stage digests (resume compatibility)
+        params={"seed": cfg.seed, **({"emb_dim": cfg.emb_dim} if cfg.emb_dim else {})},
     )
     hot_hosts: dict = {}
     hot_hosts_ds = None
@@ -326,7 +348,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         if pairs.count() == 0:
             # empty datasets lose their schema through groupby shuffles;
             # joins on them fail — emit a typed empty result instead.
-            return rd.from_arrow(scored_schema().empty_table())
+            return rd.from_arrow(scored_schema(with_cos=cfg.emb_weight > 0).empty_table())
         store = cfg.feature_store_dir
         if store is None and cfg.checkpoint_dir:
             import os as _os
@@ -338,13 +360,15 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             num_partitions=cfg.num_partitions,
             threshold=cfg.threshold,
             feature_store_dir=store,
+            emb_weight=cfg.emb_weight,
         )
 
     scored = stage(
         "scored",
         make_scored,
         parents=("pairs", "features"),
-        params={"threshold": cfg.threshold},
+        params={"threshold": cfg.threshold,
+                **({"emb_weight": cfg.emb_weight} if cfg.emb_weight else {})},
     )
     edges = scored.map_batches(
         lambda t: t.filter(t["is_match"]).select(["url_a", "url_b"]),
@@ -424,7 +448,7 @@ def _hot_hosts_checkpointed(stage, deduped, cfg: ERConfig) -> dict:
     return mapping, hot_ds
 
 
-def _empty_outputs() -> dict:
+def _empty_outputs(cfg: "ERConfig | None" = None) -> dict:
     """Typed empty result set for a zero-row input (empty datasets that
     have passed through a shuffle lose their schema, breaking joins)."""
     import ray.data as rd
@@ -445,11 +469,14 @@ def _empty_outputs() -> dict:
         "deduped": t([("url", s), ("warc_ts", pa.timestamp("us")), ("text", s), ("lang", s)]),
         "features": t([("url", s), ("uid", pa.int64()), ("title", s),
                        ("n_tokens", pa.int64()), ("sketch", pa.binary()),
-                       ("sig", pa.binary())]),
+                       ("sig", pa.binary())]
+                      + ([("emb", pa.binary())] if cfg and cfg.emb_dim else [])),
         "blocks": t([("block_key", pa.int64()), ("uid", pa.int64())]),
         "block_stats": t([("block_key", pa.int64()), ("n_members", pa.int64())]),
         "pairs": t([("uid_a", pa.int64()), ("uid_b", pa.int64())]),
-        "scored": rd.from_arrow(scored_schema().empty_table()),
+        "scored": rd.from_arrow(
+            scored_schema(with_cos=bool(cfg and cfg.emb_weight)).empty_table()
+        ),
         "edges": t([("url_a", s), ("url_b", s)]),
         "clusters": t([("url", s), ("cluster_id", s)]),
         "golden": t([("cluster_id", s), ("canonical_url", s), ("n_members", pa.int64()),

@@ -251,16 +251,25 @@ def _stage_params(cfg: ERConfig) -> dict[str, dict]:
     producer and an incremental consumer for result equivalence (the
     same params run_er records in its stage manifests)."""
     return {
-        "features": {"seed": cfg.seed},
+        # each entry must mirror run_er's stage record exactly (digest
+        # compare) — including the conditional emb keys, so a state built
+        # with the cosine-over-embedding signal (which the delta path
+        # refuses, see run_er_incremental) fails the compat check loudly.
+        "features": {
+            "seed": cfg.seed,
+            **({"emb_dim": cfg.emb_dim} if cfg.emb_dim else {}),
+        },
         "blocks": {
             "max_block_size": cfg.max_block_size,
             "salt_hot_hosts": cfg.salt_hot_hosts,
         },
-        # must mirror run_er's pairs-stage record exactly (digest compare):
         # catches a state built with snm_window >= 2, which the delta path
         # cannot reproduce (see module docstring).
         "pairs": {"max_block_size": cfg.max_block_size, "snm_window": cfg.snm_window},
-        "scored": {"threshold": cfg.threshold},
+        "scored": {
+            "threshold": cfg.threshold,
+            **({"emb_weight": cfg.emb_weight} if cfg.emb_weight else {}),
+        },
     }
 
 
@@ -366,6 +375,14 @@ def run_er_incremental(
             "sort order, which a delta cannot reproduce without re-sorting "
             "the corpus — run the full pipeline for SNM configs (see module "
             "docstring, excluded cases)"
+        )
+    if cfg.emb_dim or cfg.emb_weight:
+        raise ValueError(
+            "run_er_incremental does not support the cosine-over-embedding "
+            "scoring signal (ERConfig.emb_dim / emb_weight): the delta "
+            "scorer does not carry the emb column — run the full pipeline "
+            "for embedding-scored configs (the stage-params compat check "
+            "also refuses states built with it)"
         )
     if cfg.num_partitions is None:
         cfg.num_partitions = default_partitions()

@@ -54,7 +54,34 @@ def doc_uid(url: str) -> int:
     return H.stable_u64(url) & 0x7FFF_FFFF_FFFF_FFFF
 
 
-def compute_features_batch(batch: pa.Table, *, seed: int = 42, num_perm: int = NUM_PERM) -> pa.Table:
+def hashed_embeddings_batch(toks: list, emb_dim: int) -> np.ndarray:
+    """Feature-hashing text embedding: every token (WITH multiplicity)
+    hashes to a bucket in [0, emb_dim) with a ±1 sign bit, counts
+    accumulate, rows L2-normalize → an (n_docs, emb_dim) float32 matrix
+    whose cosine is the classic hashing-trick text similarity
+    (Weinberger et al., ICML 2009). Deterministic (``stable_u64``); the
+    per-batch memo hashes each distinct token once."""
+    n = len(toks)
+    m = np.zeros((n, emb_dim), dtype=np.float64)
+    memo: dict[str, int] = {}
+    lens = np.array([len(tk) for tk in toks], dtype=np.int64)
+    if lens.sum():
+        flat = np.fromiter(
+            (memo.setdefault(w, H.stable_u64(w)) for tk in toks for w in tk),
+            dtype=np.uint64,
+            count=int(lens.sum()),
+        )
+        bucket = (flat % np.uint64(emb_dim)).astype(np.int64)
+        sign = 1.0 - 2.0 * ((flat >> np.uint64(32)) & np.uint64(1)).astype(np.float64)
+        np.add.at(m, (np.repeat(np.arange(n), lens), bucket), sign)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (m / norms).astype(np.float32)
+
+
+def compute_features_batch(
+    batch: pa.Table, *, seed: int = 42, num_perm: int = NUM_PERM, emb_dim: int = 0
+) -> pa.Table:
     a, b = _perms(num_perm, seed)
     urls = batch["url"].to_pylist()
     texts = batch["text"].to_pylist()
@@ -63,18 +90,20 @@ def compute_features_batch(batch: pa.Table, *, seed: int = 42, num_perm: int = N
     sigs = H.minhash_signatures_batch(shingles, a, b)
     sketches = [np.sort(s)[:SKETCH_K] for s in shingles]
     titles = [" ".join(tk[:TITLE_TOKENS]) for tk in toks]
-    return pa.table(
-        {
-            "url": batch["url"],
-            "uid": pa.array([doc_uid(u) for u in urls], pa.int64()),
-            "title": pa.array(titles, pa.string()),
-            "n_tokens": pa.array([len(tk) for tk in toks], pa.int64()),
-            "sketch": pa.array([s.tobytes() for s in sketches], pa.binary()),
-            "sig": pa.array(
-                [np.ascontiguousarray(s).tobytes() for s in sigs], pa.binary()
-            ),
-        }
-    )
+    cols = {
+        "url": batch["url"],
+        "uid": pa.array([doc_uid(u) for u in urls], pa.int64()),
+        "title": pa.array(titles, pa.string()),
+        "n_tokens": pa.array([len(tk) for tk in toks], pa.int64()),
+        "sketch": pa.array([s.tobytes() for s in sketches], pa.binary()),
+        "sig": pa.array(
+            [np.ascontiguousarray(s).tobytes() for s in sigs], pa.binary()
+        ),
+    }
+    if emb_dim:
+        emb = hashed_embeddings_batch(toks, emb_dim)
+        cols["emb"] = pa.array([row.tobytes() for row in emb], pa.binary())
+    return pa.table(cols)
 
 
 class ComputeFeatures:
@@ -92,22 +121,28 @@ class ComputeFeatures:
     reduceat batch kernel.
     """
 
-    def __init__(self, num_perm: int = NUM_PERM, seed: int = 42) -> None:
+    def __init__(self, num_perm: int = NUM_PERM, seed: int = 42, emb_dim: int = 0) -> None:
         self.a, self.b = H.minhash_permutations(num_perm, seed=seed)
         self._seed = seed
         self._num_perm = num_perm
+        self._emb_dim = emb_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return compute_features_batch(batch, seed=self._seed, num_perm=self._num_perm)
+        return compute_features_batch(
+            batch, seed=self._seed, num_perm=self._num_perm, emb_dim=self._emb_dim
+        )
 
 
-def features_stage(ds, *, concurrency=None, batch_size: int = 512, seed: int = 42):
+def features_stage(ds, *, concurrency=None, batch_size: int = 512, seed: int = 42,
+                   emb_dim: int = 0):
     """Stateless task pool by default (see ``compute_features_batch``);
-    pass ``concurrency`` to force an actor pool."""
+    pass ``concurrency`` to force an actor pool. ``emb_dim > 0`` adds the
+    hashed-text-embedding column consumed by the optional
+    cosine-over-embedding scoring signal (scoring.py ``emb_weight``)."""
     if concurrency is not None:
         return ds.map_batches(
             ComputeFeatures,
-            fn_constructor_kwargs={"seed": seed},
+            fn_constructor_kwargs={"seed": seed, "emb_dim": emb_dim},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -116,7 +151,7 @@ def features_stage(ds, *, concurrency=None, batch_size: int = 512, seed: int = 4
     import functools
 
     return ds.map_batches(
-        functools.partial(compute_features_batch, seed=seed),
+        functools.partial(compute_features_batch, seed=seed, emb_dim=emb_dim),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

@@ -131,21 +131,42 @@ def pad_sketch_column(col, width: int | None = None) -> tuple[np.ndarray, np.nda
 BROADCAST_FEATURES_THRESHOLD = 1_000_000
 
 
-def scored_schema() -> pa.Schema:
+def scored_schema(with_cos: bool = False) -> pa.Schema:
     """The scored-pairs output schema — the ONE definition shared by
     ``score_pairs`` consumers that must fabricate typed empty results
-    (er.py, er_incremental.py)."""
-    return pa.schema(
-        [
-            ("url_a", pa.string()),
-            ("url_b", pa.string()),
-            ("jaccard", pa.float64()),
-            ("jw_title", pa.float64()),
-            ("jw_url", pa.float64()),
-            ("score", pa.float64()),
-            ("is_match", pa.bool_()),
-        ]
-    )
+    (er.py, er_incremental.py). ``with_cos`` adds the optional
+    cosine-over-embedding column (present iff ``emb_weight > 0``)."""
+    fields = [
+        ("url_a", pa.string()),
+        ("url_b", pa.string()),
+        ("jaccard", pa.float64()),
+        ("jw_title", pa.float64()),
+        ("jw_url", pa.float64()),
+    ]
+    if with_cos:
+        fields.append(("cos_text", pa.float64()))
+    fields += [("score", pa.float64()), ("is_match", pa.bool_())]
+    return pa.schema(fields)
+
+
+def _emb_matrix_from_binary(col: pa.Array) -> np.ndarray:
+    """(n,) binary column of packed float32 rows → (n, d) float64."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0))
+    buf = b"".join(col.to_pylist())
+    m = np.frombuffer(buf, dtype=np.float32).reshape(n, -1)
+    return m.astype(np.float64)
+
+
+def _blend(jac, jwt, jwu, cos, emb_weight: float):
+    base = W_JACCARD * jac + W_TITLE * jwt + W_URL * jwu
+    if cos is None or not emb_weight:
+        return base
+    # convex blend: emb_weight=0 reproduces the base score exactly
+    return (1.0 - emb_weight) * base + emb_weight * cos
 
 
 def score_pairs(
@@ -157,9 +178,18 @@ def score_pairs(
     sketch_k: int = 160,
     broadcast_threshold: int = BROADCAST_FEATURES_THRESHOLD,
     feature_store_dir: str | None = None,
+    emb_weight: float = 0.0,
 ):
     """pairs(url_a, url_b) ⋈ features ×2 → scored pairs
-    (url_a, url_b, jaccard, jw_title, jw_url, score, is_match).
+    (url_a, url_b, jaccard, jw_title, jw_url, [cos_text], score, is_match).
+
+    ``emb_weight > 0`` adds the north-star cosine-over-embedding signal:
+    features must carry the ``emb`` column (features_stage ``emb_dim``),
+    per-pair cosine is a vectorized row dot of the L2-normalized hashed
+    embeddings, and the score becomes the convex blend
+    (1-w)·(0.7·jac + 0.2·jw_title + 0.1·jw_url) + w·cos. Supported on
+    the broadcast and join paths (the feature store predates the column
+    and refuses loudly rather than silently dropping the signal).
 
     Physical plan is size-aware: features under ``broadcast_threshold``
     rows ride the object store into a scorer actor pool (zero shuffles);
@@ -192,7 +222,16 @@ def score_pairs(
 
     # features is a materialized stage in run_er → count() is free
     if broadcast_threshold and features_ds.count() <= broadcast_threshold:
-        return _score_broadcast(pairs_ds, features_ds, threshold, sketch_k)
+        return _score_broadcast(
+            pairs_ds, features_ds, threshold, sketch_k, emb_weight=emb_weight
+        )
+    if emb_weight:
+        if feature_store_dir:
+            raise ValueError(
+                "emb_weight > 0 is not supported on the feature-store path; "
+                "use the broadcast or join plan (or add the emb column to "
+                "the store layout first)"
+            )
     if feature_store_dir:
         import os as _os
 
@@ -207,19 +246,20 @@ def score_pairs(
         return score_pairs_store(
             pairs_ds, feature_store_dir, threshold=threshold, sketch_k=sketch_k
         )
+    def _side(t: pa.Table, s: str) -> pa.Table:
+        cols = {
+            f"uid_f{s}": t["uid"], f"url_{s}": t["url"],
+            f"title_{s}": t["title"], f"sketch_{s}": t["sketch"],
+        }
+        if emb_weight:
+            cols[f"emb_{s}"] = t["emb"]
+        return pa.table(cols)
+
     fa = features_ds.map_batches(
-        lambda t: pa.table(
-            {"uid_fa": t["uid"], "url_a": t["url"], "title_a": t["title"],
-             "sketch_a": t["sketch"]}
-        ),
-        batch_format="pyarrow",
+        lambda t: _side(t, "a"), batch_format="pyarrow"
     )
     fb = features_ds.map_batches(
-        lambda t: pa.table(
-            {"uid_fb": t["uid"], "url_b": t["url"], "title_b": t["title"],
-             "sketch_b": t["sketch"]}
-        ),
-        batch_format="pyarrow",
+        lambda t: _side(t, "b"), batch_format="pyarrow"
     )
     from .util import bucketed_join
 
@@ -247,22 +287,28 @@ def score_pairs(
         jac = sketch_jaccard_batch(mat_a, len_a, mat_b, len_b, sketch_k)
         jwt = _jw_arrow(batch["title_a"], batch["title_b"])
         jwu = _jw_arrow(batch["url_a"], batch["url_b"])
-        sc = W_JACCARD * jac + W_TITLE * jwt + W_URL * jwu
+        cos = None
+        if emb_weight:
+            ea = _emb_matrix_from_binary(batch["emb_a"])
+            eb = _emb_matrix_from_binary(batch["emb_b"])
+            cos = np.einsum("ij,ij->i", ea, eb) if len(ea) else np.zeros(0)
+        sc = _blend(jac, jwt, jwu, cos, emb_weight)
         # output urls in lexicographic order, Arrow-native (pair identity
-        # is uid-ordered upstream; all three features are symmetric)
+        # is uid-ordered upstream; all features are symmetric)
         ua, ub = batch["url_a"].combine_chunks(), batch["url_b"].combine_chunks()
         lt = pc.less_equal(ua, ub)
-        return pa.table(
-            {
-                "url_a": pc.if_else(lt, ua, ub),
-                "url_b": pc.if_else(lt, ub, ua),
-                "jaccard": pa.array(jac),
-                "jw_title": pa.array(jwt),
-                "jw_url": pa.array(jwu),
-                "score": pa.array(sc),
-                "is_match": pa.array(sc >= threshold),
-            }
-        )
+        cols = {
+            "url_a": pc.if_else(lt, ua, ub),
+            "url_b": pc.if_else(lt, ub, ua),
+            "jaccard": pa.array(jac),
+            "jw_title": pa.array(jwt),
+            "jw_url": pa.array(jwu),
+        }
+        if cos is not None:
+            cols["cos_text"] = pa.array(cos)
+        cols["score"] = pa.array(sc)
+        cols["is_match"] = pa.array(sc >= threshold)
+        return pa.table(cols)
 
     return joined.map_batches(score, batch_format="pyarrow")
 
@@ -311,9 +357,10 @@ def _jw_arrow(a, b) -> np.ndarray:
 
 
 def _score_broadcast_batch(
-    batch: pa.Table, features_ref, threshold: float, sketch_k: int
+    batch: pa.Table, features_ref, threshold: float, sketch_k: int,
+    emb_weight: float = 0.0,
 ) -> pa.Table:
-    uids, urls, upack, tpack, mat, lens = _feat_payload(features_ref)
+    uids, urls, upack, tpack, mat, lens, emb = _feat_payload(features_ref)
     ia = np.searchsorted(uids, batch["uid_a"].to_numpy(zero_copy_only=False))
     ib = np.searchsorted(uids, batch["uid_b"].to_numpy(zero_copy_only=False))
     # score each DISTINCT (uid_a, uid_b) once — hot-host sub-blocks and
@@ -330,26 +377,31 @@ def _score_broadcast_batch(
     ucodes, uflat, uoffs = upack
     jwt = jaro_winkler_coded(tflat, toffs, tcodes[uia], tcodes[uib])[inv]
     jwu = jaro_winkler_coded(uflat, uoffs, ucodes[uia], ucodes[uib])[inv]
-    sc = W_JACCARD * jac + W_TITLE * jwt + W_URL * jwu
+    cos = None
+    if emb_weight and emb is not None:
+        cos = np.einsum("ij,ij->i", emb[uia], emb[uib])[inv]
+    sc = _blend(jac, jwt, jwu, cos, emb_weight)
     # output urls in lexicographic order, Arrow-native (pair identity is
-    # uid-ordered upstream; all three features are symmetric)
+    # uid-ordered upstream; all features are symmetric)
     ua_r = urls.take(pa.array(ia))
     ub_r = urls.take(pa.array(ib))
     lt = pc.less_equal(ua_r, ub_r)
-    return pa.table(
-        {
-            "url_a": pc.if_else(lt, ua_r, ub_r),
-            "url_b": pc.if_else(lt, ub_r, ua_r),
-            "jaccard": pa.array(jac),
-            "jw_title": pa.array(jwt),
-            "jw_url": pa.array(jwu),
-            "score": pa.array(sc),
-            "is_match": pa.array(sc >= threshold),
-        }
-    )
+    cols = {
+        "url_a": pc.if_else(lt, ua_r, ub_r),
+        "url_b": pc.if_else(lt, ub_r, ua_r),
+        "jaccard": pa.array(jac),
+        "jw_title": pa.array(jwt),
+        "jw_url": pa.array(jwu),
+    }
+    if cos is not None:
+        cols["cos_text"] = pa.array(cos)
+    cols["score"] = pa.array(sc)
+    cols["is_match"] = pa.array(sc >= threshold)
+    return pa.table(cols)
 
 
-def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int):
+def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int,
+                     emb_weight: float = 0.0):
     import ray
 
     # Pad sketches to fixed width IN THE WORKERS (parallel, per batch);
@@ -363,20 +415,22 @@ def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int):
         skfix = pa.Array.from_buffers(
             fb_type, mat.shape[0], [None, pa.py_buffer(mat.tobytes())]
         )
-        return pa.table(
-            {
-                "uid": t["uid"],
-                "url": t["url"],
-                "title": t["title"],
-                "skfix": skfix,
-                "slen": pa.array(lens),
-            }
-        )
+        cols = {
+            "uid": t["uid"],
+            "url": t["url"],
+            "title": t["title"],
+            "skfix": skfix,
+            "slen": pa.array(lens),
+        }
+        if emb_weight:
+            cols["emb"] = t["emb"]
+        return pa.table(cols)
 
+    feat_cols = ["uid", "url", "title", "sketch"] + (["emb"] if emb_weight else [])
     tbl = pa.concat_tables(
         [
             pa.table(b)
-            for b in features_ds.select_columns(["uid", "url", "title", "sketch"])
+            for b in features_ds.select_columns(feat_cols)
             .map_batches(to_fixed, batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow")
         ]
@@ -401,6 +455,7 @@ def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int):
         )
 
     urls_arr = tbl["url"].combine_chunks()
+    emb_mat = _emb_matrix_from_binary(tbl["emb"]) if emb_weight else None
     ref = ray.put(
         (
             tbl["uid"].to_numpy(zero_copy_only=False),
@@ -409,6 +464,7 @@ def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int):
             _pack(tbl["title"].combine_chunks()),
             mat,
             tbl["slen"].to_numpy(zero_copy_only=False),
+            emb_mat,
         )
     )
     import functools
@@ -419,6 +475,7 @@ def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int):
             features_ref=ref,
             threshold=threshold,
             sketch_k=sketch_k,
+            emb_weight=emb_weight,
         ),
         batch_format="pyarrow",
         # 2048 (not 8192): pair batches are tiny rows; smaller batches keep

@@ -1,0 +1,115 @@
+"""Optional cosine-over-embedding scoring signal (north-star scoring
+recipe: JW on url/title + token-Jaccard + cosine-over-embedding on
+text): hashed-embedding kernel semantics, pipeline integration with
+F1 preserved, broadcast/join path agreement, and the loud refusals
+(emb without dim, incremental, feature store)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mdmpublic_ray.stages.blocking import hashed_embeddings_batch
+
+
+def test_hashed_embedding_kernel_semantics():
+    toks = [
+        ["alpha", "beta", "gamma", "alpha"],
+        ["alpha", "beta", "gamma", "alpha"],  # identical → cosine 1.0
+        ["delta", "epsilon", "zeta", "eta", "theta"],  # disjoint
+        [],  # empty → zero vector (guarded norm)
+    ]
+    m = hashed_embeddings_batch(toks, 64)
+    assert m.shape == (4, 64) and m.dtype == np.float32
+    norms = np.linalg.norm(m, axis=1)
+    assert norms[:3] == pytest.approx([1.0, 1.0, 1.0], abs=1e-6)
+    assert norms[3] == 0.0
+    cos = m.astype(np.float64) @ m.astype(np.float64).T
+    assert cos[0, 1] == pytest.approx(1.0, abs=1e-6)  # float32 storage rounding
+    assert abs(cos[0, 2]) < 0.6  # disjoint vocab → far from 1
+    # deterministic across calls
+    assert np.array_equal(m, hashed_embeddings_batch(toks, 64))
+
+
+def test_er_with_emb_signal_keeps_f1_and_emits_cos(ray_session, corpus_dir):
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er import ERConfig, pairwise_metrics, run_er
+
+    pages = rd.read_parquet(f"{corpus_dir}/pages.parquet")
+    out = run_er(
+        pages,
+        ERConfig(num_partitions=8, n_buckets=16, emb_dim=64, emb_weight=0.2),
+    )
+    scored = out["scored"].to_pandas()
+    assert "cos_text" in scored.columns
+    # convex blend bookkeeping: score = 0.8*base + 0.2*cos exactly
+    base = (
+        0.7 * scored["jaccard"] + 0.2 * scored["jw_title"] + 0.1 * scored["jw_url"]
+    )
+    assert np.allclose(scored["score"], 0.8 * base + 0.2 * scored["cos_text"])
+    # identical texts (exact re-crawls) have identical token bags → cos 1
+    exact = scored[scored["jaccard"] >= 0.9999]
+    assert len(exact) > 0
+    assert (exact["cos_text"] > 0.9999).all()
+    m = pairwise_metrics(out["clusters"], rd.read_parquet(f"{corpus_dir}/labels.parquet"))
+    assert m["f1"] == 1.0
+
+
+def test_emb_broadcast_and_join_paths_agree(ray_session, corpus_dir):
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er import ERConfig, run_er
+    from mdmpublic_ray.stages.scoring import score_pairs
+
+    pages = rd.read_parquet(f"{corpus_dir}/pages.parquet")
+    out = run_er(
+        pages, ERConfig(num_partitions=8, n_buckets=16, emb_dim=32, emb_weight=0.3)
+    )
+    pairs = out["pairs"].materialize()
+    features = out["features"].materialize()
+    cols = ["url_a", "url_b", "jaccard", "cos_text", "score", "is_match"]
+
+    def canon(ds) -> pd.DataFrame:
+        return (
+            ds.to_pandas()[cols]
+            .sort_values(["url_a", "url_b"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    fast = canon(score_pairs(pairs, features, num_partitions=8, emb_weight=0.3))
+    slow = canon(
+        score_pairs(
+            pairs, features, num_partitions=8, emb_weight=0.3, broadcast_threshold=0
+        )
+    )
+    pd.testing.assert_frame_equal(fast, slow, check_exact=False, atol=1e-12)
+
+
+def test_emb_refusals(ray_session, corpus_dir, tmp_path):
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er import ERConfig, run_er
+    from mdmpublic_ray.pipelines.er_incremental import run_er_incremental
+    from mdmpublic_ray.stages.scoring import score_pairs
+
+    pages = rd.read_parquet(f"{corpus_dir}/pages.parquet")
+    with pytest.raises(ValueError, match="requires emb_dim"):
+        run_er(pages, ERConfig(emb_weight=0.2))
+    with pytest.raises(ValueError, match="cosine-over-embedding"):
+        run_er_incremental(
+            pages, ERConfig(emb_dim=64, emb_weight=0.2),
+            state_dir=str(tmp_path), prev_run_id="x",
+        )
+    out = run_er(
+        pages, ERConfig(num_partitions=8, n_buckets=16, emb_dim=32, emb_weight=0.3)
+    )
+    with pytest.raises(ValueError, match="feature-store path"):
+        score_pairs(
+            out["pairs"].materialize(),
+            out["features"].materialize(),
+            emb_weight=0.3,
+            broadcast_threshold=0,
+            feature_store_dir=str(tmp_path / "store"),
+        )
