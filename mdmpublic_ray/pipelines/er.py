@@ -90,8 +90,9 @@ class ERConfig:
     # sketch jaccard (same token evidence), so the default score keeps
     # the published weights; a deployment with MODEL embeddings flips
     # these on to use semantic similarity the sketches cannot see.
-    # Not supported by the incremental path or the feature store
-    # (both refuse loudly rather than silently dropping the signal).
+    # Supported on all three scoring paths (broadcast / join / feature
+    # store — a store written without the emb column refuses loudly);
+    # the incremental path refuses emb configs (see er_incremental).
     emb_dim: int = 0
     emb_weight: float = 0.0
 

@@ -69,7 +69,15 @@ def write_feature_store(features_ds, store_dir: str, *, n_buckets: int = 64) -> 
 
     tagged = features_ds.map_batches(tag, batch_format="pyarrow")
     tagged.write_parquet(store_dir, partition_cols=["fs_bucket"])
-    meta = {"n_buckets": int(n_buckets), "version": 1}
+    schema = features_ds.schema()
+    meta = {
+        "n_buckets": int(n_buckets),
+        "version": 1,
+        # the optional cosine-over-embedding column (features_stage
+        # emb_dim) rides along in the partitioned write; record it so
+        # probers can validate emb_weight requests against the layout
+        "has_emb": "emb" in (schema.names if schema else []),
+    }
     with open(os.path.join(store_dir, META_NAME), "w") as f:
         json.dump(meta, f)
     return meta
@@ -89,19 +97,20 @@ _BUCKET_CACHE: dict = {}
 _BUCKET_CACHE_MAX = 4
 
 
-def _load_bucket(store_dir: str, k: int, sketch_k: int):
-    key = (store_dir, int(k))
+def _load_bucket(store_dir: str, k: int, sketch_k: int, with_emb: bool = False):
+    key = (store_dir, int(k), bool(with_emb))
     hit = _BUCKET_CACHE.pop(key, None)
     if hit is not None:
         _BUCKET_CACHE[key] = hit  # re-insert = move to MRU position
         return hit
     import pyarrow.parquet as pq
 
-    from .scoring import pad_sketch_column
+    from .scoring import _emb_matrix_from_binary, pad_sketch_column
 
+    cols = ["uid", "url", "title", "sketch"] + (["emb"] if with_emb else [])
     tbl = pq.read_table(
         os.path.join(store_dir, f"fs_bucket={int(k)}"),
-        columns=["uid", "url", "title", "sketch"],
+        columns=cols,
     ).combine_chunks()
     tbl = tbl.take(pc.sort_indices(tbl["uid"]))
     mat, lens = pad_sketch_column(tbl["sketch"], width=sketch_k)
@@ -111,6 +120,7 @@ def _load_bucket(store_dir: str, k: int, sketch_k: int):
         tbl["title"].combine_chunks(),
         mat,
         lens,
+        _emb_matrix_from_binary(tbl["emb"]) if with_emb else None,
     )
     while len(_BUCKET_CACHE) >= _BUCKET_CACHE_MAX:
         _BUCKET_CACHE.pop(next(iter(_BUCKET_CACHE)))  # evict LRU
@@ -125,15 +135,16 @@ def _score_group(
     pb_payload,
     threshold: float,
     sketch_k: int,
+    emb_weight: float = 0.0,
 ) -> pa.Table:
     """Score one (bucket_a, bucket_b) pair group against two decoded
     bucket payloads. Same kernels and distinct-pair dedup as the
     broadcast scorer (scoring._score_broadcast_batch), generalized to
     two payloads."""
-    from .scoring import W_JACCARD, W_TITLE, W_URL, _jw_arrow, sketch_jaccard_batch
+    from .scoring import _blend, _jw_arrow, sketch_jaccard_batch
 
-    uids_a, urls_a, titles_a, mat_a, lens_a = pa_payload
-    uids_b, urls_b, titles_b, mat_b, lens_b = pb_payload
+    uids_a, urls_a, titles_a, mat_a, lens_a, emb_a = pa_payload
+    uids_b, urls_b, titles_b, mat_b, lens_b, emb_b = pb_payload
     ia = np.clip(np.searchsorted(uids_a, uid_a), 0, max(len(uids_a) - 1, 0))
     ib = np.clip(np.searchsorted(uids_b, uid_b), 0, max(len(uids_b) - 1, 0))
     # a pair uid absent from its store bucket means the store and the
@@ -153,21 +164,25 @@ def _score_group(
     # dictionary edge the per-bucket coded packs could not give us).
     jwt = _jw_arrow(titles_a.take(pa.array(uia)), titles_b.take(pa.array(uib)))[inv]
     jwu = _jw_arrow(urls_a.take(pa.array(uia)), urls_b.take(pa.array(uib)))[inv]
-    sc = W_JACCARD * jac + W_TITLE * jwt + W_URL * jwu
+    cos = None
+    if emb_weight and emb_a is not None and emb_b is not None:
+        cos = np.einsum("ij,ij->i", emb_a[uia], emb_b[uib])[inv]
+    sc = _blend(jac, jwt, jwu, cos, emb_weight)
     ua_r = urls_a.take(pa.array(ia))
     ub_r = urls_b.take(pa.array(ib))
     lt = pc.less_equal(ua_r, ub_r)
-    return pa.table(
-        {
-            "url_a": pc.if_else(lt, ua_r, ub_r),
-            "url_b": pc.if_else(lt, ub_r, ua_r),
-            "jaccard": pa.array(jac),
-            "jw_title": pa.array(jwt),
-            "jw_url": pa.array(jwu),
-            "score": pa.array(sc),
-            "is_match": pa.array(sc >= threshold),
-        }
-    )
+    cols = {
+        "url_a": pc.if_else(lt, ua_r, ub_r),
+        "url_b": pc.if_else(lt, ub_r, ua_r),
+        "jaccard": pa.array(jac),
+        "jw_title": pa.array(jwt),
+        "jw_url": pa.array(jwu),
+    }
+    if cos is not None:
+        cols["cos_text"] = pa.array(cos)
+    cols["score"] = pa.array(sc)
+    cols["is_match"] = pa.array(sc >= threshold)
+    return pa.table(cols)
 
 
 def score_pairs_store(
@@ -177,6 +192,7 @@ def score_pairs_store(
     threshold: float,
     sketch_k: int = 160,
     n_shuffle_buckets: int | None = None,
+    emb_weight: float = 0.0,
 ):
     """pairs(uid_a, uid_b) × feature store → scored pairs (same schema
     as ``scoring.score_pairs``).
@@ -190,6 +206,12 @@ def score_pairs_store(
 
     meta = read_store_meta(store_dir)
     n_buckets = int(meta["n_buckets"])
+    if emb_weight and not meta.get("has_emb"):
+        raise ValueError(
+            "emb_weight > 0 but this feature store was written without the "
+            "emb column (features_stage emb_dim=0) — rebuild the store from "
+            "emb-bearing features"
+        )
     n_shuffle = n_shuffle_buckets or max(default_partitions() * 4, 32)
 
     def tag(t: pa.Table) -> pa.Table:
@@ -203,24 +225,29 @@ def score_pairs_store(
 
     def run_bucket(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return pd.DataFrame(
-                {
-                    "url_a": pd.Series([], dtype=str),
-                    "url_b": pd.Series([], dtype=str),
-                    "jaccard": pd.Series([], dtype=np.float64),
-                    "jw_title": pd.Series([], dtype=np.float64),
-                    "jw_url": pd.Series([], dtype=np.float64),
-                    "score": pd.Series([], dtype=np.float64),
-                    "is_match": pd.Series([], dtype=bool),
-                }
-            )
+            cols = {
+                "url_a": pd.Series([], dtype=str),
+                "url_b": pd.Series([], dtype=str),
+                "jaccard": pd.Series([], dtype=np.float64),
+                "jw_title": pd.Series([], dtype=np.float64),
+                "jw_url": pd.Series([], dtype=np.float64),
+            }
+            if emb_weight:
+                cols["cos_text"] = pd.Series([], dtype=np.float64)
+            cols["score"] = pd.Series([], dtype=np.float64)
+            cols["is_match"] = pd.Series([], dtype=bool)
+            return pd.DataFrame(cols)
         outs = []
         # group keys arrive pre-hashed into this shuffle bucket; iterate
         # each exact (ka, kb) group so every probe touches ≤2 buckets
         for gkey, g in df.groupby("fs_gkey", sort=True):
             ka, kb = int(gkey) // n_buckets, int(gkey) % n_buckets
-            pl_a = _load_bucket(store_dir, ka, sketch_k)
-            pl_b = pl_a if kb == ka else _load_bucket(store_dir, kb, sketch_k)
+            pl_a = _load_bucket(store_dir, ka, sketch_k, with_emb=bool(emb_weight))
+            pl_b = (
+                pl_a
+                if kb == ka
+                else _load_bucket(store_dir, kb, sketch_k, with_emb=bool(emb_weight))
+            )
             outs.append(
                 _score_group(
                     g["uid_a"].to_numpy(),
@@ -229,6 +256,7 @@ def score_pairs_store(
                     pl_b,
                     threshold,
                     sketch_k,
+                    emb_weight=emb_weight,
                 ).to_pandas()
             )
         return pd.concat(outs, ignore_index=True)

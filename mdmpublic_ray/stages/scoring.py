@@ -188,8 +188,9 @@ def score_pairs(
     per-pair cosine is a vectorized row dot of the L2-normalized hashed
     embeddings, and the score becomes the convex blend
     (1-w)·(0.7·jac + 0.2·jw_title + 0.1·jw_url) + w·cos. Supported on
-    the broadcast and join paths (the feature store predates the column
-    and refuses loudly rather than silently dropping the signal).
+    all three physical paths; a store WRITTEN without the emb column
+    refuses an emb_weight probe loudly (featurestore meta ``has_emb``)
+    rather than silently dropping the signal.
 
     Physical plan is size-aware: features under ``broadcast_threshold``
     rows ride the object store into a scorer actor pool (zero shuffles);
@@ -225,13 +226,6 @@ def score_pairs(
         return _score_broadcast(
             pairs_ds, features_ds, threshold, sketch_k, emb_weight=emb_weight
         )
-    if emb_weight:
-        if feature_store_dir:
-            raise ValueError(
-                "emb_weight > 0 is not supported on the feature-store path; "
-                "use the broadcast or join plan (or add the emb column to "
-                "the store layout first)"
-            )
     if feature_store_dir:
         import os as _os
 
@@ -243,8 +237,11 @@ def score_pairs(
 
         if not _os.path.exists(_os.path.join(feature_store_dir, META_NAME)):
             write_feature_store(features_ds, feature_store_dir)
+        # an emb_weight request against a store written without the emb
+        # column fails loudly inside score_pairs_store (meta has_emb)
         return score_pairs_store(
-            pairs_ds, feature_store_dir, threshold=threshold, sketch_k=sketch_k
+            pairs_ds, feature_store_dir, threshold=threshold, sketch_k=sketch_k,
+            emb_weight=emb_weight,
         )
     def _side(t: pa.Table, s: str) -> pa.Table:
         cols = {

@@ -102,14 +102,48 @@ def test_emb_refusals(ray_session, corpus_dir, tmp_path):
             pages, ERConfig(emb_dim=64, emb_weight=0.2),
             state_dir=str(tmp_path), prev_run_id="x",
         )
+    # a store WRITTEN without the emb column refuses an emb probe
+    out_plain = run_er(pages, ERConfig(num_partitions=8, n_buckets=16))
+    from mdmpublic_ray.stages.featurestore import write_feature_store
+
+    plain_store = str(tmp_path / "plain_store")
+    write_feature_store(out_plain["features"].materialize(), plain_store)
+    with pytest.raises(ValueError, match="without the emb column"):
+        score_pairs(
+            out_plain["pairs"].materialize(),
+            out_plain["features"].materialize(),
+            emb_weight=0.3,
+            broadcast_threshold=0,
+            feature_store_dir=plain_store,
+        ).materialize()
+
+
+def test_emb_store_path_agrees_with_broadcast(ray_session, corpus_dir, tmp_path):
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er import ERConfig, run_er
+    from mdmpublic_ray.stages.scoring import score_pairs
+
+    pages = rd.read_parquet(f"{corpus_dir}/pages.parquet")
     out = run_er(
         pages, ERConfig(num_partitions=8, n_buckets=16, emb_dim=32, emb_weight=0.3)
     )
-    with pytest.raises(ValueError, match="feature-store path"):
-        score_pairs(
-            out["pairs"].materialize(),
-            out["features"].materialize(),
-            emb_weight=0.3,
-            broadcast_threshold=0,
-            feature_store_dir=str(tmp_path / "store"),
+    pairs = out["pairs"].materialize()
+    features = out["features"].materialize()
+    cols = ["url_a", "url_b", "jaccard", "cos_text", "score", "is_match"]
+
+    def canon(ds) -> pd.DataFrame:
+        return (
+            ds.to_pandas()[cols]
+            .sort_values(["url_a", "url_b"], kind="mergesort")
+            .reset_index(drop=True)
         )
+
+    fast = canon(score_pairs(pairs, features, num_partitions=8, emb_weight=0.3))
+    store = canon(
+        score_pairs(
+            pairs, features, num_partitions=8, emb_weight=0.3,
+            broadcast_threshold=0, feature_store_dir=str(tmp_path / "emb_store"),
+        )
+    )
+    pd.testing.assert_frame_equal(fast, store, check_exact=False, atol=1e-12)
