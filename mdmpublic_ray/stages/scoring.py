@@ -20,7 +20,9 @@ import pyarrow.compute as pc
 
 from ..functions.text import encode_flat_u32_arrow, jaro_winkler_coded
 
-# score = weighted blend; is_match is thresholded on the blend.
+# score = weighted blend; is_match is thresholded on the blend. With the
+# optional cosine-over-embedding signal (emb_weight > 0, see score_pairs)
+# the blend becomes convex: (1-w)·base + w·cos_text.
 W_JACCARD, W_TITLE, W_URL = 0.7, 0.2, 0.1
 DEFAULT_THRESHOLD = 0.35
 
