@@ -1131,6 +1131,46 @@ SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text
 """
 
 
+# RE2-safe "BPE-ish" pre-tokenizer (GPT-2 style without the lookahead RE2
+# forbids): contractions, space-prefixed letter runs, digit runs,
+# punctuation runs, whitespace runs. Both engines run RE2 (pyarrow
+# count_substring_regex and DuckDB regexp_extract_all), so the count is
+# EXACTLY oracle-comparable.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def q_events_props_tokens(sf_dir: str):
+    """Token counting, whitespace AND BPE-ish regex (the brief's text-
+    analysis pair), over the punctuation-rich JSON ``props`` column where
+    the two notions genuinely diverge (every '{', ':', digit run is its
+    own subword). Fully vectorized: ``pc.count_substring_regex`` (RE2)
+    per batch — zero Python in the hot path."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(t["props"], pattern=r"\S+"), pa.int64()
+                ),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(t["props"], pattern=_BPE_PAT), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+SQL_EVENTS_PROPS_TOKENS = f"""
+SELECT event_id,
+       CAST(len(regexp_extract_all(props, '\\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(props, $${_BPE_PAT}$$)) AS BIGINT) AS n_bpe_tokens
+FROM events
+"""
+
+
 def q_docs_token_stats(sf_dir: str):
     """Token counting with the pinned tokenizer (text-analysis op)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -4244,6 +4284,7 @@ QUERIES = {
     "pages_media_thumbs": q_pages_media_thumbs,
     "pages_image_dedup": q_pages_image_dedup,
     "embeddings_neardup_lsh": q_embeddings_neardup_lsh,
+    "events_props_tokens": q_events_props_tokens,
 }
 
 ORACLE_SQL = {
@@ -4276,6 +4317,7 @@ ORACLE_SQL = {
     "orders_by_month": SQL_ORDERS_BY_MONTH,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
+    "events_props_tokens": SQL_EVENTS_PROPS_TOKENS,
     "docs_repetition": SQL_DOCS_REPETITION,
     "docs_distinct_tokens": SQL_DOCS_DISTINCT_TOKENS,
     "docs_fingerprint": SQL_DOCS_FINGERPRINT,
