@@ -7,8 +7,10 @@
     skew-aware salting of hot hosts; optional sorted-neighborhood
     window pass over titles, cfg.snm_window)
   → capped within-block candidate pairs (uid pairs) → pair dedup
-  → vectorized pairwise scoring (Jaccard + Jaro-Winkler; broadcast or
-    shuffle-join features by size) → match edges
+  → vectorized pairwise scoring (Jaccard + Jaro-Winkler, optional
+    cosine-over-embedding via cfg.emb_dim/emb_weight; broadcast /
+    feature-store / shuffle-join plan picked by feature-table size)
+  → match edges
   → transitive closure (driver union-find small / hash-partitioned
     min-label rounds large) → clusters
   → golden-record survivorship
