@@ -38,6 +38,55 @@ def tokens(s: str) -> list[str]:
     return TOKEN_RE.findall(s.lower())
 
 
+def tokens_hashed_arrow(texts):
+    """Batch tokenizer + hasher for an Arrow string column.
+
+    Returns ``(tok_list, th, toff)``: the per-row nonempty token lists as
+    a ``pa.ListArray`` (same tokens as ``tokens()`` row-by-row —
+    ``findall('[a-z0-9]+')`` ≡ regex-split on ``[^a-z0-9]+`` minus empty
+    fragments), flat uint64 token hashes (``hashing.hash_utf8_flat`` over
+    the column's own values buffer — zero per-row Python), and int64
+    row offsets. This is the front door for every similarity stage
+    (features, MinHash dedup, token/shingle joins): tokenize with Arrow
+    kernels, hash with numpy, never loop rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from . import hashing as H
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    lst = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(texts, "")), "[^a-z0-9]+"
+    )
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    raw_off = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lst.flatten().cast(pa.large_utf8())
+    # string values buffer + per-token byte offsets, adjusted for slices
+    voff = np.frombuffer(flat.buffers()[1], dtype=np.int64)[
+        flat.offset : flat.offset + len(flat) + 1
+    ]
+    vals = np.frombuffer(flat.buffers()[2] or b"", dtype=np.uint8)
+    h_all = H.hash_utf8_flat(vals, voff)
+    blens = voff[1:] - voff[:-1]
+    keep = blens > 0  # split() emits empty fragments at run boundaries
+    th = h_all[keep]
+    row_lens = raw_off[1:] - raw_off[:-1]
+    rows = np.repeat(np.arange(n, dtype=np.int64), row_lens)[keep]
+    toff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=toff[1:])
+    kept = flat.filter(pa.array(keep))
+    if toff[-1] < 2**31:
+        tok_list = pa.ListArray.from_arrays(
+            pa.array(toff, pa.int32()), kept.cast(pa.utf8())
+        )
+    else:
+        tok_list = pa.LargeListArray.from_arrays(pa.array(toff, pa.int64()), kept)
+    return tok_list, th, toff
+
+
 def token_set(s: str) -> frozenset[str]:
     return frozenset(tokens(s))
 

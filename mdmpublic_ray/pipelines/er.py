@@ -26,7 +26,12 @@ from dataclasses import dataclass
 
 import pyarrow as pa
 
-from ..stages.blocking import block_keys_stage, block_size_stats, features_stage
+from ..stages.blocking import (
+    FEATURES_HASHV,
+    block_keys_stage,
+    block_size_stats,
+    features_stage,
+)
 from ..stages.cluster import connected_components
 from ..stages.dedup import dedup_latest
 from ..stages.extract import extract_stage
@@ -283,9 +288,10 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             emb_dim=cfg.emb_dim,
         ),
         parents=("deduped",),
-        # emb_dim in the digest only when enabled: default runs keep
-        # their round-1/2 stage digests (resume compatibility)
-        params={"seed": cfg.seed, **({"emb_dim": cfg.emb_dim} if cfg.emb_dim else {})},
+        # emb_dim in the digest only when enabled; hashv invalidates
+        # states built under a different similarity-hash space
+        params={"seed": cfg.seed, "hashv": FEATURES_HASHV,
+                **({"emb_dim": cfg.emb_dim} if cfg.emb_dim else {})},
     )
     hot_hosts: dict = {}
     hot_hosts_ds = None

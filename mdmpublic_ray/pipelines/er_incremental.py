@@ -65,7 +65,12 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.blocking import block_keys_stage, doc_uid, features_stage
+from ..stages.blocking import (
+    FEATURES_HASHV,
+    block_keys_stage,
+    doc_uid,
+    features_stage,
+)
 from ..stages.cluster import connected_components
 from ..stages.dedup import dedup_latest
 from ..stages.extract import extract_stage
@@ -257,6 +262,7 @@ def _stage_params(cfg: ERConfig) -> dict[str, dict]:
         # refuses, see run_er_incremental) fails the compat check loudly.
         "features": {
             "seed": cfg.seed,
+            "hashv": FEATURES_HASHV,
             **({"emb_dim": cfg.emb_dim} if cfg.emb_dim else {}),
         },
         "blocks": {

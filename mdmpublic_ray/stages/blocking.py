@@ -28,6 +28,11 @@ N_BANDS = 64
 SHINGLE_K = 3
 SKETCH_K = 160  # bottom-k shingle sketch size; exact Jaccard for docs < k shingles
 TITLE_TOKENS = 8
+# Similarity-hash space version: bumped when the token/shingle hash family
+# changes (v2 = vectorized poly64+splitmix, functions/hashing.py). Part of
+# the features stage digest so a checkpointed state built under another
+# hash space refuses to resume/increment instead of silently mixing spaces.
+FEATURES_HASHV = 2
 
 
 # Per-process cache of the seeded permutation family: features runs as
@@ -62,47 +67,92 @@ def hashed_embeddings_batch(toks: list, emb_dim: int) -> np.ndarray:
     (Weinberger et al., ICML 2009). Deterministic (``stable_u64``); the
     per-batch memo hashes each distinct token once."""
     n = len(toks)
-    m = np.zeros((n, emb_dim), dtype=np.float64)
-    memo: dict[str, int] = {}
     lens = np.array([len(tk) for tk in toks], dtype=np.int64)
     if lens.sum():
+        memo: dict[str, int] = {}
         flat = np.fromiter(
-            (memo.setdefault(w, H.stable_u64(w)) for tk in toks for w in tk),
+            (memo.setdefault(w, H.fast_u64(w)) for tk in toks for w in tk),
             dtype=np.uint64,
             count=int(lens.sum()),
         )
-        bucket = (flat % np.uint64(emb_dim)).astype(np.int64)
-        sign = 1.0 - 2.0 * ((flat >> np.uint64(32)) & np.uint64(1)).astype(np.float64)
+    else:
+        flat = np.empty(0, dtype=np.uint64)
+    toff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=toff[1:])
+    return hashed_embeddings_flat(flat, toff, emb_dim)
+
+
+def hashed_embeddings_flat(th: np.ndarray, toff: np.ndarray, emb_dim: int) -> np.ndarray:
+    """``hashed_embeddings_batch`` from flat token hashes + offsets (the
+    vectorized front end's layout) — bit-identical to the list form."""
+    n = toff.size - 1
+    lens = toff[1:] - toff[:-1]
+    m = np.zeros((n, emb_dim), dtype=np.float64)
+    if th.size:
+        bucket = (th % np.uint64(emb_dim)).astype(np.int64)
+        sign = 1.0 - 2.0 * ((th >> np.uint64(32)) & np.uint64(1)).astype(np.float64)
         np.add.at(m, (np.repeat(np.arange(n), lens), bucket), sign)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return (m / norms).astype(np.float32)
 
 
+def _binary_from_flat(flat_bytes: bytes, item_bytes: np.ndarray) -> pa.Array:
+    """Variable-width ``pa.binary()`` array straight from a flat byte
+    buffer + per-item byte counts — no per-row Python, no copies beyond
+    the two buffers."""
+    n = item_bytes.size
+    off = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(item_bytes, out=off[1:])
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(off.tobytes()), pa.py_buffer(flat_bytes)]
+    )
+
+
 def compute_features_batch(
     batch: pa.Table, *, seed: int = 42, num_perm: int = NUM_PERM, emb_dim: int = 0
 ) -> pa.Table:
+    """Fully vectorized: Arrow tokenization (lower + regex split), numpy
+    polynomial token/shingle hashing (``hashing.hash_utf8_flat`` /
+    ``shingle_hashes_flat``), reduceat MinHash, buffer-level binary
+    assembly. The only per-row Python left is ``doc_uid`` (one blake2b
+    per url — identity hash, pinned by persisted state)."""
+    import pyarrow.compute as pc
+
     a, b = _perms(num_perm, seed)
+    tok_list, th, toff = T.tokens_hashed_arrow(batch["text"])
+    sh, soff = H.shingle_hashes_flat(th, toff, SHINGLE_K)
+    sigs = H.minhash_signatures_flat(sh, soff, a, b)
+    # bottom-k sketch: sh is sorted-unique per doc, so the sketch is the
+    # first min(len, K) entries of each doc's segment
+    take = np.minimum(soff[1:] - soff[:-1], SKETCH_K)
+    idx = np.repeat(soff[:-1], take) + (
+        np.arange(int(take.sum()), dtype=np.int64)
+        - np.repeat(np.cumsum(take) - take, take)
+    )
     urls = batch["url"].to_pylist()
-    texts = batch["text"].to_pylist()
-    toks = [T.tokens(t) for t in texts]
-    shingles = [H.shingle_hashes(tk, SHINGLE_K) for tk in toks]
-    sigs = H.minhash_signatures_batch(shingles, a, b)
-    sketches = [np.sort(s)[:SKETCH_K] for s in shingles]
-    titles = [" ".join(tk[:TITLE_TOKENS]) for tk in toks]
+    n = len(urls)
     cols = {
         "url": batch["url"],
         "uid": pa.array([doc_uid(u) for u in urls], pa.int64()),
-        "title": pa.array(titles, pa.string()),
-        "n_tokens": pa.array([len(tk) for tk in toks], pa.int64()),
-        "sketch": pa.array([s.tobytes() for s in sketches], pa.binary()),
-        "sig": pa.array(
-            [np.ascontiguousarray(s).tobytes() for s in sigs], pa.binary()
+        "title": pc.binary_join(
+            pc.list_slice(tok_list, 0, TITLE_TOKENS), " "
+        ),
+        "n_tokens": pa.array(toff[1:] - toff[:-1], pa.int64()),
+        "sketch": _binary_from_flat(
+            sh[idx].tobytes(), (take * 8).astype(np.int64)
+        ),
+        "sig": _binary_from_flat(
+            np.ascontiguousarray(sigs).tobytes(),
+            np.full(n, sigs.shape[1] * 4, dtype=np.int64),
         ),
     }
     if emb_dim:
-        emb = hashed_embeddings_batch(toks, emb_dim)
-        cols["emb"] = pa.array([row.tobytes() for row in emb], pa.binary())
+        emb = hashed_embeddings_flat(th, toff, emb_dim)
+        cols["emb"] = _binary_from_flat(
+            np.ascontiguousarray(emb).tobytes(),
+            np.full(n, emb_dim * 4, dtype=np.int64),
+        )
     return pa.table(cols)
 
 

@@ -43,18 +43,29 @@ class _DocFeatures:
         self.a, self.b = _doc_perms(seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .blocking import _binary_from_flat
+
         ids = batch["doc_id"].to_pylist()
-        toks = [T.tokens(t) for t in batch["text"].to_pylist()]
-        shingles = [H.shingle_hashes(tk, 3) for tk in toks]
-        sigs = H.minhash_signatures_batch(shingles, self.a, self.b)
+        _, th, toff = T.tokens_hashed_arrow(batch["text"])
+        sh, soff = H.shingle_hashes_flat(th, toff, 3)
+        sigs = H.minhash_signatures_flat(sh, soff, self.a, self.b)
+        take = np.minimum(soff[1:] - soff[:-1], SKETCH_K)
+        idx = np.repeat(soff[:-1], take) + (
+            np.arange(int(take.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(take) - take, take)
+        )
+        n = len(ids)
         return pa.table(
             {
                 "doc_key": pa.array([str(i) for i in ids], pa.string()),
                 "uid": pa.array([int(i) for i in ids], pa.int64()),
-                "sketch": pa.array(
-                    [np.sort(s)[:SKETCH_K].tobytes() for s in shingles], pa.binary()
+                "sketch": _binary_from_flat(
+                    sh[idx].tobytes(), (take * 8).astype(np.int64)
                 ),
-                "sig": pa.array([np.ascontiguousarray(s).tobytes() for s in sigs], pa.binary()),
+                "sig": _binary_from_flat(
+                    np.ascontiguousarray(sigs).tobytes(),
+                    np.full(n, sigs.shape[1] * 4, dtype=np.int64),
+                ),
             }
         )
 

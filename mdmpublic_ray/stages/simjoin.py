@@ -62,24 +62,21 @@ def _tokenize_stage(
     similarity between unrelated texts that merely share vocabulary."""
 
     def tok(batch: pa.Table) -> pa.Table:
-        memo: dict[str, int] = {}
-        packed = []
-        for txt in batch[text_col].to_pylist():
-            if shingle_k > 1:
-                hs = shingle_hashes(T.tokens(txt), shingle_k)
-                packed.append(np.sort(hs).tobytes())
-                continue
-            hs = {
-                memo.setdefault(w, stable_u64(w))
-                for w in set(T.tokens(txt))
-            }
-            packed.append(
-                np.sort(np.fromiter(hs, dtype=np.uint64, count=len(hs))).tobytes()
-            )
+        from .blocking import _binary_from_flat
+        from ..functions.hashing import shingle_hashes_flat
+        from ..functions.text import tokens_hashed_arrow
+
+        _, th, toff = tokens_hashed_arrow(batch[text_col])
+        # shingle_k == 1 → per-doc sorted-unique TOKEN hashes (same dedup
+        # machinery, window size 1); > 1 → k-shingle hash sets. Both paths
+        # stay flat-vectorized end to end.
+        sh, soff = shingle_hashes_flat(th, toff, shingle_k)
         cols = {id_col: batch[id_col]}
         if block_col:
             cols[block_col] = batch[block_col]
-        cols["tokset"] = pa.array(packed, pa.binary())
+        cols["tokset"] = _binary_from_flat(
+            sh.tobytes(), ((soff[1:] - soff[:-1]) * 8).astype(np.int64)
+        )
         return pa.table(cols)
 
     return ds.map_batches(tok, batch_format="pyarrow")

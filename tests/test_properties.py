@@ -174,3 +174,108 @@ def test_sketch_jaccard_batch_matches_scalar(pairs, k):
     got = sketch_jaccard_batch(mat_a, len_a, mat_b, len_b, k)
     for i in range(len(pairs)):
         assert got[i] == sketch_jaccard(sk_a[i], sk_b[i], k)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized similarity-hash kernels (poly64 + splitmix64): the flat/batch
+# forms must be bit-identical to their scalar counterparts — these parity
+# properties are what lets the hot path run without per-row Python.
+# ---------------------------------------------------------------------------
+
+
+def _flat_utf8(strs):
+    bufs = [s.encode("utf-8", "surrogatepass") for s in strs]
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    off = np.zeros(len(strs) + 1, dtype=np.int64)
+    if strs:
+        np.cumsum([len(b) for b in bufs], out=off[1:])
+    return data, off
+
+
+@given(st.lists(st.text(max_size=40), max_size=20))
+@settings(max_examples=150, deadline=None)
+def test_hash_utf8_flat_matches_scalar(strs):
+    data, off = _flat_utf8(strs)
+    got = H.hash_utf8_flat(data, off)
+    assert got.shape == (len(strs),)
+    for i, s in enumerate(strs):
+        assert int(got[i]) == H.fast_u64(s)
+
+
+def test_hash_utf8_flat_nonzero_base_and_empties():
+    """Sliced views (nonzero offsets[0]) and empty items mixed with
+    content hash identically to the scalar — including the all-empty
+    batch, which must agree with the mixed-batch empty hash."""
+    strs = ["", "a", "", "abc", ""]
+    data, off = _flat_utf8(strs)
+    junk = np.frombuffer(b"JUNKJUNK", dtype=np.uint8)
+    got = H.hash_utf8_flat(np.concatenate([junk, data]), off + 8)
+    for i, s in enumerate(strs):
+        assert int(got[i]) == H.fast_u64(s)
+    all_empty = H.hash_utf8_flat(np.empty(0, dtype=np.uint8),
+                                 np.zeros(4, dtype=np.int64))
+    assert all_empty.tolist() == [H.fast_u64("")] * 3
+
+
+@given(st.lists(tokens_lists, max_size=8), st.integers(min_value=1, max_value=5))
+@settings(max_examples=100, deadline=None)
+def test_shingle_hashes_flat_matches_scalar(docs, k):
+    th = np.array(
+        [H.fast_u64(w) for d in docs for w in d], dtype=np.uint64
+    )
+    toff = np.zeros(len(docs) + 1, dtype=np.int64)
+    if docs:
+        np.cumsum([len(d) for d in docs], out=toff[1:])
+    sh, soff = H.shingle_hashes_flat(th, toff, k)
+    for i, d in enumerate(docs):
+        seg = sh[soff[i] : soff[i + 1]]
+        exp = H.shingle_hashes(d, k)
+        assert seg.tolist() == exp.tolist()
+        assert (np.diff(seg.astype(np.uint64)) > 0).all()  # sorted unique
+
+
+@given(st.lists(tokens_lists, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_minhash_flat_matches_batch(docs):
+    a, b = H.minhash_permutations(16, seed=5)
+    th = np.array(
+        [H.fast_u64(w) for d in docs for w in d], dtype=np.uint64
+    )
+    toff = np.zeros(len(docs) + 1, dtype=np.int64)
+    if docs:
+        np.cumsum([len(d) for d in docs], out=toff[1:])
+    sh, soff = H.shingle_hashes_flat(th, toff, 3)
+    flat = H.minhash_signatures_flat(sh, soff, a, b)
+    sets = [sh[soff[i] : soff[i + 1]] for i in range(len(docs))]
+    assert np.array_equal(flat, H.minhash_signatures_batch(sets, a, b))
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=50)), max_size=15))
+@settings(max_examples=100, deadline=None)
+def test_tokens_hashed_arrow_matches_tokens(rows):
+    import pyarrow as pa
+
+    arr = pa.chunked_array([rows[: len(rows) // 2], rows[len(rows) // 2 :]],
+                           pa.string())
+    tok_list, th, toff = T.tokens_hashed_arrow(arr)
+    assert toff.shape == (len(rows) + 1,)
+    for i, s in enumerate(rows):
+        exp = T.tokens(s or "")
+        assert tok_list[i].as_py() == exp
+        assert th[toff[i] : toff[i + 1]].tolist() == [H.fast_u64(w) for w in exp]
+
+
+@given(st.lists(tokens_lists, max_size=6), st.integers(min_value=2, max_value=32))
+@settings(max_examples=60, deadline=None)
+def test_hashed_embeddings_batch_matches_naive(docs, dim):
+    from mdmpublic_ray.stages.blocking import hashed_embeddings_batch
+
+    got = hashed_embeddings_batch(docs, dim)
+    assert got.shape == (len(docs), dim)
+    for i, d in enumerate(docs):
+        m = np.zeros(dim)
+        for w in d:
+            hv = H.fast_u64(w)
+            m[hv % dim] += 1.0 - 2.0 * ((hv >> 32) & 1)
+        nrm = np.linalg.norm(m) or 1.0
+        assert np.allclose(got[i], (m / nrm).astype(np.float32), atol=1e-7)
