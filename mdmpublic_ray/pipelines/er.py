@@ -310,6 +310,9 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         params={
             "max_block_size": cfg.max_block_size,
             "salt_hot_hosts": cfg.salt_hot_hosts,
+            # band-key family version (see FEATURES_HASHV): states whose
+            # blocks were built under blake2b band keys refuse to resume
+            "hashv": FEATURES_HASHV,
         },
     )
     def make_pairs():

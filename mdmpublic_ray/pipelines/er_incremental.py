@@ -268,6 +268,7 @@ def _stage_params(cfg: ERConfig) -> dict[str, dict]:
         "blocks": {
             "max_block_size": cfg.max_block_size,
             "salt_hot_hosts": cfg.salt_hot_hosts,
+            "hashv": FEATURES_HASHV,
         },
         # catches a state built with snm_window >= 2, which the delta path
         # cannot reproduce (see module docstring).

@@ -97,6 +97,28 @@ def hashed_embeddings_flat(th: np.ndarray, toff: np.ndarray, emb_dim: int) -> np
     return (m / norms).astype(np.float32)
 
 
+def fixed_u32_matrix(col) -> np.ndarray:
+    """``(n, k)`` uint32 view of an equal-width ``pa.binary()`` column —
+    buffer-level, no per-row Python. Ragged or null-bearing input (never
+    produced by the features stage; possible in hand-built test tables)
+    falls back to a per-row decode."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.uint32)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ]
+    lens = offs[1:] - offs[:-1]
+    w = int(lens[0])
+    if arr.null_count == 0 and w % 4 == 0 and bool((lens == w).all()):
+        flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        return flat.reshape(n, w).view(np.uint32)
+    return np.vstack(
+        [np.frombuffer(b or b"", dtype=np.uint32) for b in arr.to_pylist()]
+    )
+
+
 def _binary_from_flat(flat_bytes: bytes, item_bytes: np.ndarray) -> pa.Array:
     """Variable-width ``pa.binary()`` array straight from a flat byte
     buffer + per-item byte counts — no per-row Python, no copies beyond
@@ -290,34 +312,48 @@ def block_keys_stage(
     hot = hot_hosts or {}
 
     def explode(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        uids = batch["uid"].to_pylist()
-        sigs = batch["sig"].to_pylist()
-        out_keys: list[int] = []
-        out_uids: list[int] = []
-        for url, uid, sig_bytes in zip(urls, uids, sigs):
-            if use_host_pass:
+        uids = np.asarray(batch["uid"].to_numpy(zero_copy_only=False), np.int64)
+        n = uids.size
+        # pass 2 first: band keys for the whole batch in one vectorized
+        # kernel (the former per-row loop was 64 blake2b calls per doc)
+        band = (
+            H.lsh_band_ids_batch(fixed_u32_matrix(batch["sig"]), n_bands)
+            if n
+            else np.empty((0, n_bands), dtype=np.int64)
+        )
+        out_keys = [band.reshape(-1)]
+        out_uids = [np.repeat(uids, n_bands)]
+        if use_host_pass:
+            # host parse + base key memoized per distinct host (hosts
+            # repeat heavily within a batch); salting stays per-URL
+            hkey = np.zeros(n, dtype=np.int64)
+            memo: dict[str, int] = {}
+            urls = batch["url"].to_pylist()
+            for i, url in enumerate(urls):
                 host = canonical_host(url)
-                if host:
-                    key = (H.stable_u64(host) & _KEY_MASK) | HOST_BIT
-                    size = hot.get(host)
-                    if size:
-                        # subgroup target ≤ half the cap: the hash split
-                        # has variance, and a subgroup that lands over
-                        # max_block_size would be dropped by the pair cap
-                        sub = max(2, min(SALT_SUBBLOCK, max_block_size // 2))
-                        g = -(-size // sub)  # ceil
-                        salt = H.stable_u32(url) % g
-                        key = (
-                            (key ^ ((salt + 1) * _SALT_MIX)) & _KEY_MASK
-                        ) | HOST_BIT
-                    out_keys.append(key)
-                    out_uids.append(uid)
-            sig = np.frombuffer(sig_bytes, dtype=np.uint32)
-            out_keys.extend(H.lsh_band_ids(sig, n_bands).tolist())
-            out_uids.extend([uid] * n_bands)
+                if not host:
+                    continue
+                key = memo.get(host)
+                if key is None:
+                    key = memo[host] = (H.stable_u64(host) & _KEY_MASK) | HOST_BIT
+                size = hot.get(host)
+                if size:
+                    # subgroup target ≤ half the cap: the hash split has
+                    # variance, and a subgroup that lands over
+                    # max_block_size would be dropped by the pair cap
+                    sub = max(2, min(SALT_SUBBLOCK, max_block_size // 2))
+                    g = -(-size // sub)  # ceil
+                    salt = H.stable_u32(url) % g
+                    key = ((key ^ ((salt + 1) * _SALT_MIX)) & _KEY_MASK) | HOST_BIT
+                hkey[i] = key
+            sel = hkey != 0
+            out_keys.append(hkey[sel])
+            out_uids.append(uids[sel])
         return pa.table(
-            {"block_key": pa.array(out_keys, pa.int64()), "uid": pa.array(out_uids, pa.int64())}
+            {
+                "block_key": pa.array(np.concatenate(out_keys), pa.int64()),
+                "uid": pa.array(np.concatenate(out_uids), pa.int64()),
+            }
         )
 
     return features_ds.map_batches(explode, batch_format="pyarrow")

@@ -151,13 +151,22 @@ def near_dup_clusters(
     ).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys, uids = [], []
-        for uid, sig_b in zip(batch["uid"].to_pylist(), batch["sig"].to_pylist()):
-            sig = np.frombuffer(sig_b, dtype=np.uint32)
-            keys.extend(H.lsh_band_ids(sig, N_BANDS).tolist())
-            uids.extend([uid] * N_BANDS)
+        from .blocking import fixed_u32_matrix
+
+        uids = np.asarray(batch["uid"].to_numpy(zero_copy_only=False), np.int64)
+        if uids.size == 0:
+            return pa.table(
+                {
+                    "block_key": pa.array([], pa.int64()),
+                    "uid": pa.array([], pa.int64()),
+                }
+            )
+        band = H.lsh_band_ids_batch(fixed_u32_matrix(batch["sig"]), N_BANDS)
         return pa.table(
-            {"block_key": pa.array(keys, pa.int64()), "uid": pa.array(uids, pa.int64())}
+            {
+                "block_key": pa.array(band.reshape(-1), pa.int64()),
+                "uid": pa.array(np.repeat(uids, N_BANDS), pa.int64()),
+            }
         )
 
     blocks = feats.map_batches(explode, batch_format="pyarrow")

@@ -279,3 +279,29 @@ def test_hashed_embeddings_batch_matches_naive(docs, dim):
             m[hv % dim] += 1.0 - 2.0 * ((hv >> 32) & 1)
         nrm = np.linalg.norm(m) or 1.0
         assert np.allclose(got[i], (m / nrm).astype(np.float32), atol=1e-7)
+
+
+def test_lsh_band_ids_batch_matches_scalar_rows():
+    rng = np.random.default_rng(3)
+    sigs = rng.integers(0, 2**32, size=(7, 64), dtype=np.uint32)
+    got = H.lsh_band_ids_batch(sigs, 16)
+    assert got.shape == (7, 16)
+    assert (got >= 0).all() and (got < (1 << 62)).all()
+    for i in range(7):
+        assert got[i].tolist() == H.lsh_band_ids(sigs[i], 16).tolist()
+    # distinct bands with identical rows still get distinct keys
+    flat = H.lsh_band_ids_batch(np.zeros((1, 64), dtype=np.uint32), 16)[0]
+    assert len(set(flat.tolist())) == 16
+
+
+def test_fixed_u32_matrix_buffer_path_and_slices():
+    import pyarrow as pa
+
+    from mdmpublic_ray.stages.blocking import fixed_u32_matrix
+
+    rows = np.arange(24, dtype=np.uint32).reshape(6, 4)
+    arr = pa.array([r.tobytes() for r in rows], pa.binary())
+    assert np.array_equal(fixed_u32_matrix(arr), rows)
+    assert np.array_equal(fixed_u32_matrix(arr.slice(2, 3)), rows[2:5])
+    chunked = pa.chunked_array([arr.slice(0, 2), arr.slice(2, 4)])
+    assert np.array_equal(fixed_u32_matrix(chunked), rows)
