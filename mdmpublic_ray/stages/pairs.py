@@ -46,25 +46,42 @@ def candidate_pairs(
     from .util import add_bucket as util_add_bucket
 
     def gen(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized triangle emit, zero per-block Python: one lexsort
+        lays the bucket out block-major with uids sorted (and dedups
+        (key, uid) repeats), then blocks are batched BY SIZE — one
+        gather + one triu per distinct block size (≤ max_block_size
+        classes) instead of a Python visit per block. The former pandas
+        groupby paid per-group overhead for every singleton LSH band —
+        the overwhelming majority of keys."""
+        bk = df["block_key"].to_numpy()
+        uid = df["uid"].to_numpy()
+        order = np.lexsort((uid, bk))
+        bk_s = bk[order]
+        uid_s = uid[order]
+        if bk_s.size:
+            keep = np.ones(bk_s.size, dtype=bool)
+            keep[1:] = (bk_s[1:] != bk_s[:-1]) | (uid_s[1:] != uid_s[:-1])
+            bk_s = bk_s[keep]
+            uid_s = uid_s[keep]
+        starts = np.flatnonzero(np.r_[True, bk_s[1:] != bk_s[:-1]]) if bk_s.size else np.empty(0, np.int64)
+        sizes = np.diff(np.r_[starts, bk_s.size])
+        ok = (sizes >= 2) & (sizes <= max_block_size)
+        starts = starts[ok]
+        sizes = sizes[ok]
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
-        for _, g in df.groupby("block_key", sort=False):
-            n = len(g)
-            if n < 2 or n > max_block_size:
-                continue
-            uids = np.unique(g["uid"].to_numpy())  # sorted; dup keys safe
-            n = uids.size
-            if n < 2:
-                continue
-            ii, jj = np.triu_indices(n, k=1)
-            out_a.append(uids[ii])
-            out_b.append(uids[jj])
+        for s in np.unique(sizes):
+            st = starts[sizes == s]
+            mat = uid_s[st[:, None] + np.arange(int(s))]
+            ii, jj = np.triu_indices(int(s), k=1)
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
         if not out_a:
             return pd.DataFrame({"uid_a": pd.Series([], dtype="int64"),
                                  "uid_b": pd.Series([], dtype="int64")})
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        res = pd.DataFrame({"uid_a": a, "uid_b": b})
+        res = pd.DataFrame(
+            {"uid_a": np.concatenate(out_a), "uid_b": np.concatenate(out_b)}
+        )
         # within-bucket dedup (same pair via several keys in this bucket)
         return res.drop_duplicates()
 

@@ -218,3 +218,48 @@ def test_bucketed_join_salt_exceeding_buckets_no_duplicates(ray_session):
     )
     assert len(plain) == 2 * n
     assert plain.equals(salted)
+
+
+def test_candidate_pairs_matches_bruteforce(ray_session):
+    """The size-class-batched triangle emit equals the brute-force
+    per-block enumeration: duplicate (key, uid) rows collapse, oversized
+    blocks are capped, uid_a < uid_b, multi-key pairs emitted once."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mdmpublic_ray.stages.pairs import candidate_pairs
+
+    rng = np.random.default_rng(7)
+    keys, uids = [], []
+    for k in range(40):
+        size = int(rng.integers(1, 9)) if k != 5 else 30  # key 5 oversized
+        members = rng.choice(200, size=size, replace=False)
+        for u in members:
+            keys.append(k)
+            uids.append(int(u))
+            if rng.random() < 0.2:  # duplicate (key, uid) rows
+                keys.append(k)
+                uids.append(int(u))
+    blocks = rd.from_arrow(
+        pa.table({"block_key": pa.array(keys, pa.int64()),
+                  "uid": pa.array(uids, pa.int64())})
+    )
+    cap = 10
+    got = candidate_pairs(blocks, max_block_size=cap, n_buckets=4).to_pandas()
+    got_set = set(zip(got["uid_a"], got["uid_b"]))
+    exp = set()
+    import collections
+    by_key = collections.defaultdict(set)
+    for k, u in zip(keys, uids):
+        by_key[k].add(u)
+    for k, mem in by_key.items():
+        if not (2 <= len(mem) <= cap):
+            continue
+        ms = sorted(mem)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                exp.add((ms[i], ms[j]))
+    assert got_set == exp
+    assert len(got) == len(got_set)  # globally deduped
+    assert (got["uid_a"] < got["uid_b"]).all()
