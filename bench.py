@@ -278,7 +278,12 @@ def _scaling_corpus() -> str:
     not the tiny unit-test docs) so the bench measures COMPUTE scaling,
     not per-stage scheduling latency on toy data."""
     base = os.environ.get("GRAFT_SCALING_DIR", "/tmp/graft_scaling_corpus")
-    n_clusters = int(os.environ.get("GRAFT_SCALING_CLUSTERS", "12000"))
+    # 48000 clusters ≈ 242k pages / 434 MB. The probe corpus must be large
+    # enough that COMPUTE still dominates at the widest width: after the
+    # round-3 vectorizations the old 12000-cluster corpus (60k pages)
+    # finishes in ~25 s at 32 CPUs with a ~77% fixed-floor share — it
+    # measures per-stage scheduling latency, not the engine (BASELINE §5).
+    n_clusters = int(os.environ.get("GRAFT_SCALING_CLUSTERS", "48000"))
     d = os.path.join(base, f"n{n_clusters}")  # one dir per size — no aliasing
     marker = os.path.join(d, "pages.ok")
     if not os.path.exists(marker):
@@ -394,7 +399,10 @@ def _scaling() -> None:
 
     here = os.path.abspath(__file__)
     _scaling_corpus()  # generate once, outside the timed children
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    # one repeat on the floor pair / two on the headline: the 242k-page
+    # default corpus carries ~4× the work of the old probe, so relative
+    # fabric noise is smaller and the total protocol wall stays ~12 min
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
     pairs = [
         tuple(int(w) for w in p.split(","))
         for p in os.environ.get("GRAFT_SCALING_WIDTHS", "4,16;8,32").split(";")
