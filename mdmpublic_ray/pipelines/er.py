@@ -38,6 +38,7 @@ from ..stages.extract import extract_stage
 from ..stages.golden import golden_records
 from ..stages.pairs import candidate_pairs
 from ..stages.scoring import score_pairs
+from ..stages.util import pruned_scan
 
 
 @dataclass
@@ -158,6 +159,8 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         except Exception:
             pass
 
+    stage_walls: dict[str, float] = {}
+
     def stage(name, make, parents=(), params=None):
         """Stage boundary. With a checkpoint dir: parquet + manifest +
         skip-if-valid (``params`` — the stage-relevant config — is part
@@ -168,10 +171,23 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         consumed repeatedly by the CC loop), so un-pinned branch points
         would re-execute the whole upstream lineage once per consumer.
         These intermediates are O(unique urls) / O(candidate pairs) — they
-        spill to the object store, not the driver heap."""
-        if ck is None:
-            return make().materialize()
-        return ck.run_stage(name, make, parents=parents, params=params)
+        spill to the object store, not the driver heap.
+
+        Both modes record the stage's wall seconds in the run output's
+        ``_stage_walls`` (S4 metrics parity: the checkpointed path already
+        persists ``_metrics.json`` per stage; this surfaces the same
+        numbers for in-memory runs so scaling work can see WHERE the wall
+        goes without adding a checkpoint dir)."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        out = (
+            make().materialize()
+            if ck is None
+            else ck.run_stage(name, make, parents=parents, params=params)
+        )
+        stage_walls[name] = round(_time.monotonic() - t0, 3)
+        return out
 
     def make_deduped():
         # prune at the start: the input table may carry a `text` column
@@ -195,6 +211,63 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             else src
         )
         if cfg.extract_before_dedup:
+            if cfg.dedup_winner_broadcast_rows:
+                # winner-FIRST plan (cheapest, size-aware): the dedup
+                # winner set (url → max warc_ts) depends ONLY on input
+                # columns, so it comes from a column-pruned scan of the
+                # RAW input — no text ever shuffles, no full-corpus
+                # materialize, and extraction runs ONLY on surviving
+                # rows (re-crawled losers — ~25% of a web crawl — are
+                # dropped before the expensive HTML→text work instead
+                # of after). Tie-broken keys (>1 row at the max ts) are
+                # extracted and classic-deduped on just those rows, so
+                # the deterministic full-column tie-break semantics
+                # match dedup_latest over extracted rows exactly.
+                from ..stages.dedup import dedup_winner_split
+
+                split = dedup_winner_split(
+                    slim, "url", "warc_ts", n_buckets=cfg.n_buckets,
+                    winner_broadcast_rows=cfg.dedup_winner_broadcast_rows,
+                )
+                if split is not None:
+                    kept, tied = split
+                    ext = extract_stage(
+                        kept,
+                        batch_size=cfg.extract_batch_size,
+                        concurrency=cfg.extract_concurrency,
+                    )
+                    if tied is None:
+                        return ext
+                    # tiny path: rows of tied keys only. Cast the pandas
+                    # -shuffled branch back to the arrow branch's schema
+                    # so the union is homogeneous.
+                    in_s = slim.schema().base_schema
+                    ext_schema = pa.schema(
+                        [
+                            ("url", in_s.field("url").type),
+                            ("warc_ts", in_s.field("warc_ts").type),
+                            ("text", pa.string()),
+                            ("lang", in_s.field("lang").type),
+                        ]
+                    )
+
+                    def _cast(df):
+                        t = pa.Table.from_pandas(df, preserve_index=False)
+                        return t.select(ext_schema.names).cast(ext_schema)
+
+                    ext_tied = dedup_latest(
+                        extract_stage(
+                            tied,
+                            batch_size=cfg.extract_batch_size,
+                            concurrency=cfg.extract_concurrency,
+                        ),
+                        "url",
+                        "warc_ts",
+                        n_buckets=cfg.n_buckets,
+                    ).map_batches(_cast, batch_format="pandas")
+                    return ext.union(ext_tied)
+                # winner table beyond the broadcast bound (corpus-sized
+                # key set at web scale) → the shuffle plans below
             # extract FIRST (map tasks — scales with the cluster; the
             # ~25% duplicate-crawl extraction overhead is parallel work),
             # so the dedup shuffle moves extracted text, not raw html —
@@ -232,19 +305,15 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
                          "text": pa.array(txt, pa.string()), "lang": t["lang"]}
                     )
 
+                # winner_broadcast_rows=0: the winner plan already
+                # refused above (key set too big) — retrying it here
+                # would repeat the keys-only shuffle just to refuse again
                 packed = extracted.map_batches(_pack, batch_format="pyarrow")
-                if cfg.dedup_winner_broadcast_rows:
-                    # the winner path scans its input twice → pin it
-                    packed = packed.materialize()
                 return dedup_latest(
                     packed, "url", "warc_ts", n_buckets=cfg.n_buckets,
-                    winner_broadcast_rows=cfg.dedup_winner_broadcast_rows,
                 ).map_batches(_unpack, batch_format="pyarrow")
-            if cfg.dedup_winner_broadcast_rows:
-                extracted = extracted.materialize()
             return dedup_latest(
                 extracted, "url", "warc_ts", n_buckets=cfg.n_buckets,
-                winner_broadcast_rows=cfg.dedup_winner_broadcast_rows,
             )
         return extract_stage(
             dedup_latest(slim, "url", "warc_ts", n_buckets=cfg.n_buckets),
@@ -339,7 +408,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             )
 
         snm = sorted_window_pairs(
-            features.select_columns(["title", "uid"]),
+            pruned_scan(features, ["title", "uid"]),
             sort_cols=["title", "uid"],
             id_col="uid",
             window=cfg.snm_window,
@@ -386,7 +455,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         lambda t: t.filter(t["is_match"]).select(["url_a", "url_b"]),
         batch_format="pyarrow",
     )
-    nodes = deduped.select_columns(["url"])
+    nodes = pruned_scan(deduped, ["url"])
     clusters = stage(
         "clusters",
         lambda: connected_components(
@@ -415,6 +484,9 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         "edges": edges,
         "clusters": clusters,
         "golden": golden,
+        # per-stage wall seconds (diagnostic, both execution modes);
+        # underscore key → not a Dataset, skipped by state publication
+        "_stage_walls": stage_walls,
     }
     if hot_hosts_ds is not None:
         # part of the published state: er_incremental.write_state persists
@@ -436,7 +508,7 @@ def _hot_hosts_checkpointed(stage, deduped, cfg: ERConfig) -> dict:
     def make():
         import ray.data as rd
 
-        hh = hot_host_sizes(deduped.select_columns(["url"]), cfg.max_block_size)
+        hh = hot_host_sizes(pruned_scan(deduped, ["url"]), cfg.max_block_size)
         hosts = [""] + list(hh.keys())
         sizes = [-1] + [int(v) for v in hh.values()]
         return rd.from_arrow(

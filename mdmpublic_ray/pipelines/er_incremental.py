@@ -75,6 +75,7 @@ from ..stages.cluster import connected_components
 from ..stages.dedup import dedup_latest
 from ..stages.extract import extract_stage
 from ..stages.golden import golden_records
+from ..stages.util import pruned_scan
 from ..stages.pairs import dedup_pairs
 from ..stages.scoring import score_pairs
 from ..state.checkpoint import CheckpointRunner
@@ -436,7 +437,7 @@ def run_er_incremental(
         dref = ray.put(pa.array(req_del, pa.string()))
         del_present = set(
             _to_pandas(
-                _isin_scan(prev_deduped.select_columns(["url"]), "url", dref),
+                _isin_scan(pruned_scan(prev_deduped, ["url"]), "url", dref),
                 ["url"],
                 cap=delta_cap,
                 what="deleted urls",

@@ -86,7 +86,7 @@ def dedup_latest(
     materialized or cheap-to-rescan dataset."""
     import pyarrow.compute as pc
 
-    from .util import dataset_arrow_schema, grouped_agg
+    from .util import dataset_arrow_schema, grouped_agg, pruned_scan
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         sort_cols = [key, ts_col] + [
@@ -125,94 +125,24 @@ def dedup_latest(
         return to_input_schema
 
     if winner_broadcast_rows:
-        from .util import bucketed_map_groups
-
-        def winner_partial(df: pd.DataFrame) -> pd.DataFrame:
-            mx = df.groupby(key, sort=False)[ts_col].max().rename("_mx")
-            j = df[[key, ts_col]].merge(mx, left_on=key, right_index=True)
-            n = j[j[ts_col] == j["_mx"]].groupby(key, sort=False).size()
-            return pd.DataFrame(
-                {key: mx.index, "_mx": mx.to_numpy(),
-                 "_n_at": n.reindex(mx.index).to_numpy().astype("int64")}
-            )
-
-        def winner_final(df: pd.DataFrame) -> pd.DataFrame:
-            # combine partials: the true max across batches; counts only
-            # from partials that saw that max
-            mx = df.groupby(key, sort=False)["_mx"].max().rename("_tmx")
-            j = df.merge(mx, left_on=key, right_index=True)
-            n = j[j["_mx"] == j["_tmx"]].groupby(key, sort=False)["_n_at"].sum()
-            return pd.DataFrame(
-                {key: mx.index, "_mx": mx.to_numpy(),
-                 "_n_at": n.reindex(mx.index).to_numpy().astype("int64")}
-            )
-
-        winners = bucketed_map_groups(
-            ds.select_columns([key, ts_col]).map_batches(
-                winner_partial, batch_format="pandas"
-            ),
+        split = dedup_winner_split(
+            ds,
             key,
-            winner_final,
+            ts_col,
             n_buckets=n_buckets,
-        ).materialize()
-        n_keys = winners.count()
-        if 0 < n_keys <= winner_broadcast_rows:
-            import ray
-
-            wt = pa.concat_tables(
-                [pa.table(b) for b in winners.iter_batches(batch_format="pyarrow")]
-            ).combine_chunks()
-            wt = wt.take(pc.sort_indices(wt[key]))
-            multi = wt.filter(pc.greater(wt["_n_at"], 1))[key].combine_chunks()
-            wref = ray.put(
-                (wt[key].combine_chunks(), wt["_mx"].combine_chunks(),
-                 multi if len(multi) else None)
+            winner_broadcast_rows=winner_broadcast_rows,
+        )
+        if split is not None:
+            kept, tied = split
+            if tied is None:
+                return kept
+            return kept.union(
+                full_shuffle(tied).map_batches(
+                    make_to_input_schema(), batch_format="pandas"
+                )
             )
-
-            def keep_winners(t: pa.Table) -> pa.Table:
-                import ray as _ray
-
-                k = wref.hex()
-                if k not in _WINNER_CACHE:
-                    _WINNER_CACHE.clear()
-                    keys_arr, mxs, multi_arr = _ray.get(wref)
-                    # hash index built ONCE per worker: pc.index_in
-                    # rebuilds the value_set hash table on EVERY call,
-                    # which at soak scale (800k+ urls) costs more than
-                    # the filter itself
-                    winner_ts = pd.Series(
-                        mxs.to_numpy(zero_copy_only=False),
-                        index=pd.Index(keys_arr.to_pandas()),
-                    )
-                    multi_idx = (
-                        pd.Index(multi_arr.to_pandas())
-                        if multi_arr is not None
-                        else None
-                    )
-                    _WINNER_CACHE[k] = (winner_ts, multi_idx)
-                winner_ts, multi_idx = _WINNER_CACHE[k]
-                urls = t[key].to_pandas()
-                wts = winner_ts.reindex(urls).to_numpy()
-                m = t[ts_col].to_numpy(zero_copy_only=False) == wts
-                if multi_idx is not None:
-                    m &= multi_idx.get_indexer(urls) < 0
-                return t.filter(pa.array(m))
-
-            uncontested = ds.map_batches(keep_winners, batch_format="pyarrow")
-            if len(multi) == 0:
-                return uncontested
-            multi_ref = ray.put(multi)
-
-            def only_multi(t: pa.Table) -> pa.Table:
-                import ray as _ray
-
-                return t.filter(pc.is_in(t[key], value_set=_ray.get(multi_ref)))
-
-            tied = full_shuffle(
-                ds.map_batches(only_multi, batch_format="pyarrow")
-            ).map_batches(make_to_input_schema(), batch_format="pandas")
-            return uncontested.union(tied)
         # winner table too big to broadcast → classic paths below
+
 
     if not broadcast_threshold:
         return full_shuffle(ds)
@@ -225,7 +155,7 @@ def dedup_latest(
         return agg
 
     stats = grouped_agg(
-        ds.select_columns([key, ts_col]).map_batches(key_partial, batch_format="pandas"),
+        pruned_scan(ds, [key, ts_col]).map_batches(key_partial, batch_format="pandas"),
         [key],
         {"_n": ("_n", "sum"), "_mx": ("_mx", "max")},
         n_buckets=n_buckets,
@@ -273,6 +203,129 @@ def dedup_latest(
         make_to_input_schema(), batch_format="pandas"
     )
     return split(False).union(deduped_contested)
+
+
+def dedup_winner_split(
+    ds,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    *,
+    n_buckets: int = DEFAULT_BUCKETS,
+    winner_broadcast_rows: int,
+):
+    """Size-aware winner-broadcast dedup SPLIT (the physical core of
+    ``dedup_latest``'s cheapest plan, exposed so callers can place work
+    BETWEEN the filter and the tie-break — the ER pipeline runs HTML→text
+    extraction only on surviving rows).
+
+    A keys-only bucketed aggregate over ``select_columns([key, ts_col])``
+    (a column-pruned read — payload columns never move) computes each
+    key's winner ts and how many rows sit AT that max. When the distinct
+    -key count fits ``winner_broadcast_rows``, the winner table ships
+    once via the object store and:
+
+    - ``kept``: rows that are their key's UNIQUE winner, selected by a
+      pure filter map where they already live — zero payload bytes
+      through the fabric;
+    - ``tied``: the raw rows of keys with >1 row at the max ts (rare:
+      re-delivered crawls), or ``None`` when there are none. The caller
+      owns the deterministic tie-break (``dedup_latest`` full-column
+      sort semantics) — on just these rows.
+
+    Returns ``None`` when the winner table exceeds the threshold (at web
+    scale the key set is corpus-sized and cannot ship to every task) —
+    callers fall back to a shuffle plan. CALLER CONTRACT: ``ds`` is
+    scanned twice (keys pass + filter pass) — pass a materialized or
+    cheap-to-rescan dataset (a parquet read with column pruning is)."""
+    import pyarrow.compute as pc
+
+    from .util import bucketed_map_groups, pruned_scan
+
+    def winner_partial(df: pd.DataFrame) -> pd.DataFrame:
+        mx = df.groupby(key, sort=False)[ts_col].max().rename("_mx")
+        j = df[[key, ts_col]].merge(mx, left_on=key, right_index=True)
+        n = j[j[ts_col] == j["_mx"]].groupby(key, sort=False).size()
+        return pd.DataFrame(
+            {key: mx.index, "_mx": mx.to_numpy(),
+             "_n_at": n.reindex(mx.index).to_numpy().astype("int64")}
+        )
+
+    def winner_final(df: pd.DataFrame) -> pd.DataFrame:
+        # combine partials: the true max across batches; counts only
+        # from partials that saw that max
+        mx = df.groupby(key, sort=False)["_mx"].max().rename("_tmx")
+        j = df.merge(mx, left_on=key, right_index=True)
+        n = j[j["_mx"] == j["_tmx"]].groupby(key, sort=False)["_n_at"].sum()
+        return pd.DataFrame(
+            {key: mx.index, "_mx": mx.to_numpy(),
+             "_n_at": n.reindex(mx.index).to_numpy().astype("int64")}
+        )
+
+    winners = bucketed_map_groups(
+        pruned_scan(ds, [key, ts_col]).map_batches(
+            winner_partial, batch_format="pandas"
+        ),
+        key,
+        winner_final,
+        n_buckets=n_buckets,
+    ).materialize()
+    n_keys = winners.count()
+    if not (0 < n_keys <= winner_broadcast_rows):
+        return None
+
+    import ray
+
+    wt = pa.concat_tables(
+        [pa.table(b) for b in winners.iter_batches(batch_format="pyarrow")]
+    ).combine_chunks()
+    wt = wt.take(pc.sort_indices(wt[key]))
+    multi = wt.filter(pc.greater(wt["_n_at"], 1))[key].combine_chunks()
+    wref = ray.put(
+        (wt[key].combine_chunks(), wt["_mx"].combine_chunks(),
+         multi if len(multi) else None)
+    )
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        k = wref.hex()
+        if k not in _WINNER_CACHE:
+            _WINNER_CACHE.clear()
+            keys_arr, mxs, multi_arr = _ray.get(wref)
+            # hash index built ONCE per worker: pc.index_in
+            # rebuilds the value_set hash table on EVERY call,
+            # which at soak scale (800k+ urls) costs more than
+            # the filter itself
+            winner_ts = pd.Series(
+                mxs.to_numpy(zero_copy_only=False),
+                index=pd.Index(keys_arr.to_pandas()),
+            )
+            multi_idx = (
+                pd.Index(multi_arr.to_pandas())
+                if multi_arr is not None
+                else None
+            )
+            _WINNER_CACHE[k] = (winner_ts, multi_idx)
+        winner_ts, multi_idx = _WINNER_CACHE[k]
+        urls = t[key].to_pandas()
+        wts = winner_ts.reindex(urls).to_numpy()
+        m = t[ts_col].to_numpy(zero_copy_only=False) == wts
+        if multi_idx is not None:
+            m &= multi_idx.get_indexer(urls) < 0
+        return t.filter(pa.array(m))
+
+    kept = ds.map_batches(keep_winners, batch_format="pyarrow")
+    if len(multi) == 0:
+        return kept, None
+    multi_ref = ray.put(multi)
+
+    def only_multi(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        return t.filter(pc.is_in(t[key], value_set=_ray.get(multi_ref)))
+
+    tied = ds.map_batches(only_multi, batch_format="pyarrow")
+    return kept, tied
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *, n_buckets: int = DEFAULT_BUCKETS):

@@ -19,6 +19,7 @@ from ..sources.tables import read_table
 from .cluster import connected_components
 from .pairs import candidate_pairs
 from .scoring import sketch_jaccard
+from .util import pruned_scan
 
 NUM_PERM = 128
 N_BANDS = 32  # 32×4: steeper LSH curve than ER (dedup wants high precision)
@@ -112,7 +113,7 @@ def _sketch_broadcast_ref(feats):
     tbl = pa.concat_tables(
         [
             pa.table(b)
-            for b in feats.select_columns(["uid", "sketch"])
+            for b in pruned_scan(feats, ["uid", "sketch"])
             .map_batches(to_fixed, batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow")
         ]

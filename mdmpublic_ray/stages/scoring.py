@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.text import encode_flat_u32_arrow, jaro_winkler_coded
+from .util import pruned_scan
 
 # score = weighted blend; is_match is thresholded on the blend. With the
 # optional cosine-over-embedding signal (emb_weight > 0, see score_pairs)
@@ -217,7 +218,12 @@ def score_pairs(
     # is milliseconds.
     try:
         n_pairs = pairs_ds.count()  # materialized upstream in run_er → free
-        target_blocks = max(2, min(1024, n_pairs // 4096 + 1))
+        # ≥4096 rows/block so tiny pair sets still fan out; ~16k rows/block
+        # past 64 blocks — 6.4M pairs as 1024 blocks spent ~15% of the
+        # stage on per-task overhead vs 391 blocks (measured 13.8 → 11.7 s
+        # at 32 CPUs), while 391 still keeps every core busy
+        rows_per_block = 4096 if n_pairs < 1 << 20 else 16384
+        target_blocks = max(2, min(1024, n_pairs // rows_per_block + 1))
         if pairs_ds.num_blocks() < target_blocks:
             pairs_ds = pairs_ds.repartition(target_blocks)
     except Exception:
@@ -429,7 +435,7 @@ def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int,
     tbl = pa.concat_tables(
         [
             pa.table(b)
-            for b in features_ds.select_columns(feat_cols)
+            for b in pruned_scan(features_ds, feat_cols)
             .map_batches(to_fixed, batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow")
         ]

@@ -36,6 +36,86 @@ def dataset_arrow_schema(ds) -> pa.Schema:
     return pa.schema([(n, as_arrow_type(t)) for n, t in zip(s.names, s.types)])
 
 
+def pruned_scan(ds, cols: list[str]):
+    """Column-pruned view of ``ds``, pushing the projection into the
+    parquet READ when provably safe.
+
+    Ray 2.49 has NO projection pushdown: ``read_parquet(path)
+    .select_columns(["a"])`` decodes EVERY column of every row group and
+    drops the rest in a Project task afterwards (measured: 11.7 s vs
+    0.15 s for a 2-of-5-column scan of a 434 MB table whose payload
+    column dominates decode). Keys-only passes over payload-bearing
+    tables (dedup winner scan, hot-host scan, CC node scan) would pay
+    the full decode every time.
+
+    Fast path — re-issue ``read_parquet(resolved_fragments,
+    columns=cols)`` — only when the logical plan is exactly a parquet
+    Read, optionally under pure column-SELECTION Projects (no renames,
+    no expressions), with no block UDF, no row filter, no include_paths
+    and no hive partition columns (partition VALUES live in paths, not
+    files — a re-read would lose them). Anything else falls back to
+    ``select_columns`` (transformed rows are not re-derivable from the
+    files). Internal-plan inspection is wrapped defensively: any
+    surprise shape falls back."""
+    try:
+        dag = ds._logical_plan.dag
+        visible: set | None = None
+        while type(dag).__name__ == "Project":
+            if (
+                getattr(dag, "cols_rename", None)
+                or getattr(dag, "exprs", None)
+                or not getattr(dag, "cols", None)
+            ):
+                return ds.select_columns(cols)
+            sel = set(dag.cols)
+            visible = sel if visible is None else (visible & sel)
+            dag = dag.input_dependency
+        if type(dag).__name__ != "Read":
+            return ds.select_columns(cols)
+        from ray.data._internal.datasource.parquet_datasource import (
+            ParquetDatasource,
+        )
+
+        dsrc = dag._datasource
+        if not isinstance(dsrc, ParquetDatasource):
+            return ds.select_columns(cols)
+        if (
+            dsrc._block_udf is not None
+            or getattr(dsrc, "_include_paths", False)
+            or (getattr(dsrc, "_to_batches_kwargs", None) or {}).get("filter")
+            is not None
+            or getattr(dsrc, "_partition_columns", None)
+        ):
+            return ds.select_columns(cols)
+        data_cols = getattr(dsrc, "_data_columns", None)
+        if data_cols is not None and not set(cols) <= set(data_cols):
+            return ds.select_columns(cols)
+        if visible is not None and not set(cols) <= visible:
+            return ds.select_columns(cols)
+        paths = list(dsrc._pq_paths)
+        # the re-read keeps the DEFAULT hive partitioning: ray 2.49's
+        # ParquetDatasource raises UnboundLocalError on
+        # (columns=..., partitioning=None). With columns= given the
+        # output carries exactly the requested columns, so hive path
+        # parsing cannot ADD phantom columns — but a requested column
+        # whose name collides with a key=value path segment would be
+        # sourced from the PATH instead of the file: fall back.
+        lower = {c for c in cols}
+        for p in paths:
+            for seg in p.split("/"):
+                if "=" in seg and seg.split("=", 1)[0] in lower:
+                    return ds.select_columns(cols)
+        import ray.data as rd
+
+        return rd.read_parquet(
+            paths,
+            columns=list(cols),
+            filesystem=dsrc._filesystem,
+        )
+    except Exception:
+        return ds.select_columns(cols)
+
+
 def default_partitions(cap: int = 32) -> int:
     """Shuffle-partition count sized to the cluster: Ray's hash-shuffle
     join spawns one aggregator actor per partition, so partitions ≫ CPUs
