@@ -254,6 +254,29 @@ def jaro_winkler_coded(
     ub = (ukey % nstr).astype(np.int64)
     vals = np.empty(ua.size, dtype=np.float64)
     lens = offs[1:] - offs[:-1]
+    # native fast path: the C greedy scan touches O(len) chars per combo
+    # vs the numpy core's O(len^2) element ops — same values (see
+    # functions/_native.c); falls through to numpy when unavailable
+    from . import native as _nat
+
+    lib = _nat.get_lib()
+    if lib is not None:
+        flat_c = np.ascontiguousarray(flat, dtype=np.uint32)
+        offs_c = np.ascontiguousarray(offs, dtype=np.int64)
+        maxlen = int(lens.max()) if lens.size else 0
+        rc = lib.jw_coded(
+            _nat.ptr(flat_c, _nat._p_u32),
+            _nat.ptr(offs_c, _nat._p_i64),
+            _nat.ptr(ua, _nat._p_i64),
+            _nat.ptr(ub, _nat._p_i64),
+            np.int64(ua.size),
+            float(prefix_weight),
+            np.int64(maxlen),
+            _nat.ptr(vals, _nat._p_f64),
+        )
+        if rc == 0:
+            out[ne] = vals[inv]
+            return out
     order = np.argsort(np.maximum(lens[ua], lens[ub]), kind="stable")
     for s in range(0, order.size, chunk):
         sel = order[s : s + chunk]

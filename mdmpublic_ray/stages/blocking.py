@@ -261,8 +261,19 @@ def hot_host_sizes(urls_ds, max_block_size: int, *, driver_cap: int = 100_000) -
             {"host": s.index.to_numpy().astype(str), "n": s.to_numpy().astype("int64")}
         )
 
+    # coalesce the partials before the bucketed shuffle: the map above
+    # emits ONE tiny table per input block (≤ distinct hosts per block),
+    # and a sort-shuffle over hundreds of 50-row blocks is pure per-task
+    # overhead (measured 7.0 s → 0.5 s at 242k pages / 398 blocks).
+    # repartition without shuffle=True is a metadata coalesce, and 32
+    # blocks of (host, n) rows stay small even at web scale (partial
+    # rows are bounded by distinct hosts × upstream blocks, and each
+    # row is ~30 bytes).
+    from .util import DEFAULT_BUCKETS
+
     agg = grouped_agg(
-        urls_ds.map_batches(partial, batch_format="pyarrow"),
+        urls_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(DEFAULT_BUCKETS),
         ["host"],
         {"n": ("n", "sum")},
     )

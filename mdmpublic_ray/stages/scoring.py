@@ -58,15 +58,35 @@ def sketch_jaccard_batch(
     """Vectorized ``sketch_jaccard`` over padded uint64 matrices.
 
     ``A``/``B``: (n × ka/kb) rows padded with ``SKETCH_PAD``; ``la``/``lb``
-    valid lengths. Rows must be duplicate-free (sketches are bottom-k of a
-    set), matching the scalar estimator's ``assume_unique``. Identical
-    values per pair, no per-pair Python: sort the concatenated row, count
-    adjacent duplicates (= values present in both sides) whose distinct
-    rank falls inside the bottom-kk union cut.
+    valid lengths. Rows must be SORTED-unique (sketches are bottom-k of a
+    sorted-unique hash set), matching the scalar estimator's
+    ``assume_unique``. Identical values per pair, no per-pair Python: sort
+    the concatenated row, count adjacent duplicates (= values present in
+    both sides) whose distinct rank falls inside the bottom-kk union cut.
+    The native kernel (functions/_native.c sketch_jacc_rows) replaces the
+    sort with a per-row two-pointer merge when available — same estimator,
+    no (n × width) temporaries.
     """
     n = la.size
     if n == 0:
         return np.zeros(0)
+    from ..functions import native as _nat
+
+    lib = _nat.get_lib()
+    if lib is not None:
+        A_c = np.ascontiguousarray(A, dtype=np.uint64)
+        B_c = np.ascontiguousarray(B, dtype=np.uint64)
+        la_c = np.ascontiguousarray(la, dtype=np.int64)
+        lb_c = np.ascontiguousarray(lb, dtype=np.int64)
+        out = np.empty(n, dtype=np.float64)
+        lib.sketch_jacc_rows(
+            _nat.ptr(A_c, _nat._p_u64), np.int64(A_c.shape[1]),
+            _nat.ptr(la_c, _nat._p_i64),
+            _nat.ptr(B_c, _nat._p_u64), np.int64(B_c.shape[1]),
+            _nat.ptr(lb_c, _nat._p_i64),
+            np.int64(n), np.int64(k), _nat.ptr(out, _nat._p_f64),
+        )
+        return out
     s = np.sort(np.concatenate([A, B], axis=1), axis=1)
     tot = la + lb
     width = s.shape[1]
@@ -375,7 +395,30 @@ def _score_broadcast_batch(
     ukey, inv = np.unique(key, return_inverse=True)
     uia = (ukey // len(uids)).astype(np.int64)
     uib = (ukey % len(uids)).astype(np.int64)
-    jac = sketch_jaccard_batch(mat[uia], lens[uia], mat[uib], lens[uib], sketch_k)[inv]
+    from ..functions import native as _nat
+
+    _lib = _nat.get_lib()
+    if _lib is not None:
+        # indexed native kernel: reads sketch rows in place — skips the
+        # (pairs × sketch_k×8 × 2) gather that made this stage the
+        # memory-bus hot spot (2.6 KB/pair at k=160)
+        jac = np.empty(uia.size, dtype=np.float64)
+        # no-ops when already contiguous/typed (the payload builder
+        # guarantees it; this guards hand-built payloads in tests)
+        mat = np.ascontiguousarray(mat, dtype=np.uint64)
+        lens = np.ascontiguousarray(lens, dtype=np.int64)
+        _lib.sketch_jacc_idx(
+            _nat.ptr(mat, _nat._p_u64), np.int64(mat.shape[1]),
+            _nat.ptr(lens, _nat._p_i64),
+            _nat.ptr(uia, _nat._p_i64), _nat.ptr(uib, _nat._p_i64),
+            np.int64(uia.size), np.int64(sketch_k),
+            _nat.ptr(jac, _nat._p_f64),
+        )
+        jac = jac[inv]
+    else:
+        jac = sketch_jaccard_batch(
+            mat[uia], lens[uia], mat[uib], lens[uib], sketch_k
+        )[inv]
     # url/title strings were dictionary-coded + u32-transcoded ONCE at
     # broadcast build; per batch the JW kernel sees only integer codes.
     tcodes, tflat, toffs = tpack
