@@ -195,7 +195,10 @@ def _run_bench() -> dict:
             with open(os.path.join(soak_dir, "pages.ok"), "w") as f:
                 f.write("ok")
         soak_tbl = _pq.read_table(os.path.join(soak_dir, "pages.parquet"))
-        s_base, s_delta = split_base_delta(soak_tbl)
+        # every=100 → ~1% crawl delta: the headline incremental story is
+        # "a small delta must not re-shuffle the corpus"; the default
+        # 10 (~12% delta) stresses correctness in tests, not this claim
+        s_base, s_delta = split_base_delta(soak_tbl, every=100)
         state = tempfile.mkdtemp(prefix="bench_er_soak_state_")
         try:
             t0 = time.monotonic()

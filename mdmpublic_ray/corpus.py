@@ -252,7 +252,16 @@ def generate_pages(
 
 
 def write_corpus(out_dir: str, **kw) -> dict[str, str]:
-    """Materialize the corpus as parquet files; returns path map."""
+    """Materialize the corpus as parquet files; returns path map.
+
+    Row groups are bounded at 8192 rows: Ray's parquet reader splits a
+    FILE into read tasks only at row-group boundaries, so a single-row
+    -group file serializes the whole scan (and every map fused onto it)
+    onto one core regardless of cluster width — measured 6.4 s for one
+    434 MB file that 32 row groups scan in <1 s. Real 100 TB inputs are
+    many files; bounded row groups make the single-file test corpora
+    behave the same way.
+    """
     import os
 
     import pyarrow.parquet as pq
@@ -262,27 +271,31 @@ def write_corpus(out_dir: str, **kw) -> dict[str, str]:
     paths = {}
     for name, tbl in (("pages", pages), ("truth", truth), ("labels", labels)):
         p = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(tbl, p)
+        pq.write_table(tbl, p, row_group_size=8192)
         paths[name] = p
     return paths
 
 
-def split_base_delta(pages: pa.Table) -> tuple[pa.Table, pa.Table]:
+def split_base_delta(pages: pa.Table, every: int = 10) -> tuple[pa.Table, pa.Table]:
     """Deterministically split a pages table into (base, delta) for the
     incremental-ER tests and queries — a pure function of the urls, no RNG:
 
-    - urls with ``crc32(url) % 10 == 0``: every crawl row → delta
+    - urls with ``crc32(url) % every == 0``: every crawl row → delta
       (NEW documents; some will join clusters whose siblings are in base)
-    - re-crawled urls with ``crc32 % 10 == 1``: the latest crawl → delta
+    - re-crawled urls with ``crc32 % every == 1``: the latest crawl → delta
       (UPDATED documents — the incumbent row is invalidated), earlier
       crawls → base
     - everything else → base
+
+    ``every`` sets the delta fraction (~2/every of rows): the default 10
+    keeps the tests' rich mix of new+updated docs; soak protocols use
+    100 for the headline ~1%-crawl-delta story.
     """
     import zlib
 
     urls = pages["url"].to_pylist()
     ts = pages["warc_ts"].to_pylist()
-    mod = {u: zlib.crc32(u.encode()) % 10 for u in set(urls)}
+    mod = {u: zlib.crc32(u.encode()) % every for u in set(urls)}
     latest: dict[str, object] = {}
     for u, t in zip(urls, ts):
         if u not in latest or t > latest[u]:

@@ -204,6 +204,14 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             # map parallelism is block-bound — extraction would serialize
             # onto one core; one cheap repartition restores cluster width
             src = src.repartition(cfg.num_partitions)
+        elif nb is None:
+            # lazy parquet read: Ray sizes read tasks to 128 MB blocks,
+            # so a few-large-files input serializes the fused
+            # filter+extract maps onto a handful of cores — re-issue the
+            # read at cluster width (no-op for many-file inputs)
+            from ..stages.util import widen_scan
+
+            src = widen_scan(src, cfg.num_partitions)
         cols = src.schema().names
         slim = (
             src.select_columns([c for c in cols if c != "text"])

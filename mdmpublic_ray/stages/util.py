@@ -116,6 +116,83 @@ def pruned_scan(ds, cols: list[str]):
         return ds.select_columns(cols)
 
 
+def widen_scan(ds, min_blocks: int):
+    """Re-issue an under-parallelized parquet READ with enough read
+    tasks to feed the cluster, when provably safe (same plan-inspection
+    contract as :func:`pruned_scan`).
+
+    Ray sizes read tasks to ``target_max_block_size`` (128 MB), so a
+    compute-heavy map fused onto the read of a FEW large files runs at
+    file/row-group width, not cluster width — the ER pipeline's
+    HTML→text extraction serialized onto ~8 tasks of a single 434 MB
+    file (3.4 s scan → 1.5 s with one task per row group). Real inputs
+    are thousands of files and never hit this; the fix matters for the
+    single-file test corpora and any small-file-count read.
+
+    Only widens: a read over ``>= min_blocks`` files is returned
+    unchanged (override_num_blocks would COALESCE it). Projections
+    stacked on the read are preserved via ``columns=``. Any other plan
+    shape (or inspection surprise) returns ``ds`` unchanged.
+    """
+    try:
+        dag = ds._logical_plan.dag
+        visible: set | None = None
+        while type(dag).__name__ == "Project":
+            if (
+                getattr(dag, "cols_rename", None)
+                or getattr(dag, "exprs", None)
+                or not getattr(dag, "cols", None)
+            ):
+                return ds
+            sel = set(dag.cols)
+            visible = sel if visible is None else (visible & sel)
+            dag = dag.input_dependency
+        if type(dag).__name__ != "Read":
+            return ds
+        from ray.data._internal.datasource.parquet_datasource import (
+            ParquetDatasource,
+        )
+
+        dsrc = dag._datasource
+        if not isinstance(dsrc, ParquetDatasource):
+            return ds
+        if (
+            dsrc._block_udf is not None
+            or getattr(dsrc, "_include_paths", False)
+            or (getattr(dsrc, "_to_batches_kwargs", None) or {}).get("filter")
+            is not None
+            or getattr(dsrc, "_partition_columns", None)
+        ):
+            return ds
+        paths = list(dsrc._pq_paths)
+        if len(paths) >= min_blocks:
+            return ds
+        cols = None
+        if visible is not None:
+            data_cols = getattr(dsrc, "_data_columns", None)
+            cols = sorted(visible)
+            if data_cols is not None and not set(cols) <= set(data_cols):
+                return ds
+            # hive key=value path-segment collision: see pruned_scan
+            for p in paths:
+                for seg in p.split("/"):
+                    if "=" in seg and seg.split("=", 1)[0] in visible:
+                        return ds
+        else:
+            existing = getattr(dsrc, "_data_columns", None)
+            cols = list(existing) if existing is not None else None
+        import ray.data as rd
+
+        return rd.read_parquet(
+            paths,
+            columns=cols,
+            filesystem=dsrc._filesystem,
+            override_num_blocks=min_blocks,
+        )
+    except Exception:
+        return ds
+
+
 def default_partitions(cap: int = 32) -> int:
     """Shuffle-partition count sized to the cluster: Ray's hash-shuffle
     join spawns one aggregator actor per partition, so partitions ≫ CPUs
