@@ -3143,6 +3143,87 @@ WHERE {split_sql_case('doc_id_a')} != {split_sql_case('doc_id_b')}
 """
 
 
+def q_docs_cluster_split(sf_dir: str):
+    """Cluster-aware train/val/test split — the splitter that makes the
+    ``docs_split_leakage`` audit empty BY CONSTRUCTION: connected
+    components (stages/cluster.py, the ER engine's clustering core) over
+    the same exact near-dup graph the audit scans (token-Jaccard >= 0.5
+    within (lang, source) blocks), then ONE deterministic salted-md5
+    split decision per CLUSTER (keyed on cluster_id = min doc_id of the
+    component), inherited by every member. A near-dup pair straddling
+    splits is impossible because both endpoints share a cluster_id.
+
+    Scale plan: the pair join is the prefix-filtered PPJoin
+    (`similar_doc_pairs`); CC shuffles only (id, label) pairs; the split
+    itself adds NO shuffle (pure function of cluster_id). Replaces the
+    naive per-doc `docs_split_assign` wherever leakage matters.
+    Oracle: RECURSIVE CTE min-label reachability over the identical pair
+    SQL + the identical md5 CASE on the cluster label."""
+    from ..functions.hashing import split_assign
+    from ..stages.cluster import connected_components
+    from ..stages.simjoin import jaccard_set_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "text"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["lang"], t["source"], "|")
+        return t.append_column("blk", key)
+
+    pairs = jaccard_set_join(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        id_col="doc_id",
+        text_col="text",
+        block_col="blk",
+        threshold=0.5,
+    ).select_columns(["doc_id_a", "doc_id_b"])
+
+    # CC propagates lexicographic-min string labels; zero-pad so
+    # lexicographic min == numeric min (same trick as embeddings_clusters).
+    def pad(col):
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({"url_a": pad(t["doc_id_a"]), "url_b": pad(t["doc_id_b"])}),
+        batch_format="pyarrow",
+    )
+    nodes = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"url": pad(t["doc_id"])}), batch_format="pyarrow"
+    )
+    cc = connected_components(edges, nodes)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cid = pc.cast(t["cluster_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["url"], pa.int64()),
+                "cluster_id": pa.array(cid, pa.int64()),
+                "split": pa.array(split_assign(cid), pa.string()),
+            }
+        )
+
+    return cc.map_batches(assign, batch_format="pyarrow")
+
+
+def _sql_docs_cluster_split() -> str:
+    from ..functions.hashing import split_sql_case
+
+    return f"""
+WITH RECURSIVE
+pairs AS ({SQL_SIMILAR_DOC_PAIRS}),
+ee AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+       UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT ee.b, r.lbl FROM reach r JOIN ee ON ee.a = r.id
+),
+cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       {split_sql_case('cluster_id')} AS split
+FROM cc
+"""
+
+
 _SAMPLE_SALT = "samp:"
 _SAMPLE_K = 20
 
@@ -4285,6 +4366,7 @@ QUERIES = {
     "pages_media_thumbs": q_pages_media_thumbs,
     "pages_image_dedup": q_pages_image_dedup,
     "embeddings_neardup_lsh": q_embeddings_neardup_lsh,
+    "docs_cluster_split": q_docs_cluster_split,
 }
 
 ORACLE_SQL = {
@@ -4374,4 +4456,5 @@ ORACLE_SQL = {
     "er_golden_oracle": SQL_ER_GOLDEN_ORACLE,
     "docs_dup_ngrams": _sql_docs_dup_ngrams(),
     "docs_split_leakage": _sql_docs_split_leakage(),
+    "docs_cluster_split": _sql_docs_cluster_split(),
 }
