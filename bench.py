@@ -17,6 +17,14 @@ headline pair, BASELINE.json N→4N rule — multi-node clusters are
 unavailable in this sandbox, so parallelism levels on one machine
 stand in; see BASELINE.md §3/§5). GRAFT_SCALING_WIDTHS="4,16;8,32"
 overrides the pairs.
+
+--soak: the BASELINE.md §5 1M-page checkpointed soak as one
+reproducible command — the flagship ER pipeline over a generated
+~1.01M-page / ~2.4 GB corpus (GRAFT_SOAK_CLUSTERS=200000 clusters,
+cached under GRAFT_SCALING_DIR) in the documented large-corpus mode
+(stage outputs checkpointed as partitioned parquet), then pairwise
+P/R/F1 against the planted labels. Prints one JSON line with the
+wall, rows/s, pairs/s, per-stage walls and the metrics.
 """
 
 from __future__ import annotations
@@ -520,6 +528,87 @@ def _scaling_curve() -> None:
     }))
 
 
+def _soak() -> None:
+    """BASELINE.md §5 soak protocol, reproducible: flagship ER over a
+    ~1.01M-page corpus, checkpointed (the documented mode at this scale —
+    the uncheckpointed diamond DAG exceeds one box's plasma), one JSON
+    line with wall / throughput / per-stage walls / pairwise F1."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data as rd
+
+    from mdmpublic_ray.corpus import write_corpus
+    from mdmpublic_ray.pipelines.er import ERConfig, pairwise_metrics, run_er
+
+    base = os.environ.get("GRAFT_SCALING_DIR", "/tmp/graft_scaling_corpus")
+    n_clusters = int(os.environ.get("GRAFT_SOAK_CLUSTERS", "200000"))
+    d = os.path.join(base, f"n{n_clusters}")
+    marker = os.path.join(d, "pages.ok")
+    if not os.path.exists(marker):
+        write_corpus(d, n_clusters=n_clusters, seed=42, doc_tokens=(300, 800))
+        with open(marker, "w") as f:
+            f.write("ok")
+    pages_path = os.path.join(d, "pages.parquet")
+    pages = rd.read_parquet(pages_path)
+    n_pages = pages.count()  # warms the page cache
+    ck = tempfile.mkdtemp(prefix="bench_soak_ck_")
+    try:
+        t0 = time.monotonic()
+        out = run_er(
+            rd.read_parquet(pages_path), ERConfig(checkpoint_dir=ck, run_id="soak")
+        )
+        n_scored = out["scored"].count()
+        n_golden = out["golden"].count()
+        wall = time.monotonic() - t0
+        m = pairwise_metrics(out["clusters"], rd.read_parquet(os.path.join(d, "labels.parquet")))
+        stage_walls = {}
+        run_dir = os.path.join(ck, "soak")
+        if os.path.isdir(run_dir):
+            for sd in sorted(os.listdir(run_dir)):
+                mp = os.path.join(run_dir, sd, "_metrics.json")
+                if sd.startswith("stage=") and os.path.exists(mp):
+                    with open(mp) as f:
+                        mm = json.load(f)
+                    stage_walls[sd.removeprefix("stage=")] = mm["wall_seconds"]
+        print(
+            json.dumps(
+                {
+                    "metric": "soak_1m_checkpointed_sec",
+                    "value": round(wall, 3),
+                    "unit": "sec",
+                    "num_cpus": ncpu,
+                    "pages": n_pages,
+                    "input_mb": round(os.path.getsize(pages_path) / 1e6, 1),
+                    "pairs_scored": n_scored,
+                    "golden": n_golden,
+                    "rows_per_sec": round(n_pages / wall, 1),
+                    "pairs_per_sec": round(n_scored / wall, 1),
+                    "stage_wall_sec": stage_walls,
+                    "pairwise": m,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
@@ -527,6 +616,8 @@ if __name__ == "__main__":
         _scaling_curve()
     elif "--scaling" in sys.argv:
         _scaling()
+    elif "--soak" in sys.argv:
+        _soak()
     else:
         result = _run_bench()
         print(json.dumps(result))
