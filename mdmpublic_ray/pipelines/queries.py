@@ -4294,6 +4294,7 @@ QUERIES = {
     "doc_triangles": q_doc_triangles,
     "docs_langid": q_docs_langid,
     "events_props_tokens": q_events_props_tokens,
+    "docs_cluster_split": q_docs_cluster_split,
     # --- rows-only pipelines, not yet driver-listed ---
     "docs_top_tokens_mg": q_docs_top_tokens_mg,
     "docs_len_quantiles_mrl": q_docs_len_quantiles_mrl,
@@ -4366,7 +4367,6 @@ QUERIES = {
     "pages_media_thumbs": q_pages_media_thumbs,
     "pages_image_dedup": q_pages_image_dedup,
     "embeddings_neardup_lsh": q_embeddings_neardup_lsh,
-    "docs_cluster_split": q_docs_cluster_split,
 }
 
 ORACLE_SQL = {
