@@ -1361,6 +1361,56 @@ def q_docs_quality(sf_dir: str):
     return ds.map_batches(qual, batch_format="pandas")
 
 
+_DOMAIN_CAP_K = 20
+
+
+def q_docs_domain_cap(sf_dir: str):
+    """Per-domain quality capping — keep at most K = 20 docs per
+    ``source``, ranked by unique-token ratio (the docs_quality signal)
+    desc, ties by doc_id: the standard webtext-corpus guard against one
+    domain dominating the training mix (the C4/Gopher-style per-domain
+    cap). Two-level plan that holds at 100 TB: the scoring map computes
+    the ratio vectorized AND pre-prunes each batch to its local top-K
+    per source (a valid combiner for global top-K — anything below a
+    batch's K-th row can never enter the global K), so the single
+    bucketed shuffle moves at most K rows per (source × upstream block)
+    instead of the corpus; the per-bucket body is one mergesort +
+    groupby-head, no per-domain Python."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].map(T.tokens)
+        n = toks.map(len).astype("int64")
+        n_uniq = toks.map(lambda ts: len(set(ts))).astype("int64")
+        out = pd.DataFrame(
+            {
+                "source": df["source"],
+                "doc_id": df["doc_id"],
+                "n_tokens": n,
+                "unique_ratio": n_uniq.astype("float64") / n.astype("float64"),
+            }
+        )
+        # batch-local pre-prune: top-K per source before the shuffle
+        out = out.sort_values(
+            ["source", "unique_ratio", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return out.groupby("source", sort=False).head(_DOMAIN_CAP_K)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["source", "unique_ratio", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df.groupby("source", sort=False).head(_DOMAIN_CAP_K)
+        return out[["source", "doc_id", "n_tokens", "unique_ratio"]]
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    return bucketed_map_groups(scored, "source", topk)
+
+
 _STOP_SQL = ",".join(f"'{w}'" for w in sorted(T.STOPWORDS))
 SQL_DOCS_QUALITY = f"""
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
@@ -1368,6 +1418,21 @@ SELECT doc_id, len(toks) AS n_tokens,
   CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks) AS stopword_ratio,
   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS unique_ratio
 FROM t
+"""
+
+
+SQL_DOCS_DOMAIN_CAP = f"""
+WITH t AS (SELECT doc_id, source,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+q AS (SELECT source, doc_id, len(toks) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS unique_ratio
+      FROM t)
+SELECT source, doc_id, n_tokens, unique_ratio FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY unique_ratio DESC, doc_id) AS rn
+  FROM q
+) WHERE rn <= {_DOMAIN_CAP_K}
 """
 
 
@@ -1875,7 +1940,10 @@ def _er_oracle_outputs(sf_dir: str) -> dict:
         ).to_pandas()
         bad = set(pairs["doc_id_a"]) | set(pairs["doc_id_b"])
         pages = pages_from_documents(sf_dir, exclude_doc_ids=bad)
-        _ER_ORACLE_CACHE[sf_dir] = run_er(rd.from_arrow(pages), ERConfig())
+        _ER_ORACLE_CACHE[sf_dir] = {
+            **run_er(rd.from_arrow(pages), ERConfig()),
+            "_excluded_doc_ids": frozenset(bad),
+        }
     return _ER_ORACLE_CACHE[sf_dir]
 
 
@@ -1890,6 +1958,57 @@ def q_er_golden_oracle(sf_dir: str):
     (text_len equals the source text length because extract(build_html(
     text)) round-trips exactly — the M17 invariant)."""
     return _er_oracle_outputs(sf_dir)["golden"]
+
+
+def q_er_blocking_metrics(sf_dir: str):
+    """Blocking-quality triple for the flagship blocker — reduction
+    ratio, pair completeness, pair quality (Christen 2012's standard
+    blocking evaluation; ``pipelines/er.py blocking_metrics``) — over the
+    truth-restricted corpus of ``er_clusters_oracle``, where the planted
+    truth is provable: the true pairs are exactly (main page, mirror
+    page) of every included doc_id % 5 == 0. Pair completeness here is
+    an upper bound on end-to-end recall (a true pair blocking misses can
+    never be matched downstream); the oracled recall 1.0 of
+    ``er_clusters_oracle`` therefore implies PC = 1.0 on this corpus and
+    this query exposes the margin data (RR, PQ) the pipeline pays for it.
+
+    Rows-only: the candidate set is LSH-band-keyed (no SQL form); the
+    metric implementation is equality-tested against brute-force
+    recomputation in tests/test_er_pipeline.py::test_blocking_metrics.
+    Scale plan: candidates ⋈ truth is two bucketed hash joins in uid
+    space (uids are ``doc_uid(url)``, a pure per-batch hash — no
+    corpus-sized join); only scalar counters reach the driver."""
+    from .er import blocking_metrics
+
+    out = _er_oracle_outputs(sf_dir)
+    excl = out["_excluded_doc_ids"]
+
+    def truth_batch(t: pa.Table) -> pa.Table:
+        # truth construction (eval-only cold path): restate the
+        # deterministic page derivation of corpus.pages_from_documents
+        urls, cids = [], []
+        for did in t["doc_id"].to_pylist():
+            if did in excl:
+                continue
+            host = (
+                "big-portal.example"
+                if did % 10 < 3
+                else f"site-{did % 97:03d}.example"
+            )
+            urls.append(f"https://{host}/doc/{did}")
+            cids.append(did)
+            if did % 5 == 0:
+                urls.append(f"https://mirror-{did % 13:02d}.example/doc/{did}")
+                cids.append(did)
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "cluster_id": pa.array(cids, pa.int64())}
+        )
+
+    truth = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        truth_batch, batch_format="pyarrow"
+    )
+    m = blocking_metrics(out["pairs"], truth)
+    return pd.DataFrame([m])
 
 
 SQL_ER_CLUSTERS_ORACLE = """
@@ -4295,6 +4414,7 @@ QUERIES = {
     "docs_langid": q_docs_langid,
     "events_props_tokens": q_events_props_tokens,
     "docs_cluster_split": q_docs_cluster_split,
+    "docs_domain_cap": q_docs_domain_cap,
     # --- rows-only pipelines, not yet driver-listed ---
     "docs_top_tokens_mg": q_docs_top_tokens_mg,
     "docs_len_quantiles_mrl": q_docs_len_quantiles_mrl,
@@ -4305,6 +4425,7 @@ QUERIES = {
     "docs_minhash_clusters": q_docs_minhash_clusters,
     "er_clusters": q_er_clusters,
     "er_golden": q_er_golden,
+    "er_blocking_metrics": q_er_blocking_metrics,
     "er_incremental": q_er_incremental,
     "pages_media_features": q_pages_media_features,
     "docs_cdc_dedup": q_docs_cdc_dedup,
@@ -4457,4 +4578,5 @@ ORACLE_SQL = {
     "docs_dup_ngrams": _sql_docs_dup_ngrams(),
     "docs_split_leakage": _sql_docs_split_leakage(),
     "docs_cluster_split": _sql_docs_cluster_split(),
+    "docs_domain_cap": SQL_DOCS_DOMAIN_CAP,
 }
