@@ -383,6 +383,11 @@ def _scaling_child(ncpu: int) -> None:
                 "mb_per_sec": round(in_bytes / 1e6 / wall, 2),
                 "pairs_per_sec": round(n_scored / wall, 1),
                 "checkpointed": bool(ck),
+                # per-stage attribution (er.py stage_walls, both modes):
+                # lets every scaling sample show WHERE the wall went —
+                # which stages scaled with width and which are the
+                # single-box floor — without a separate profiling run
+                "stage_wall_sec": out.get("_stage_walls", {}),
             }
         )
     )
@@ -460,6 +465,11 @@ def _scaling() -> None:
             f"compute_section_sec_{lo}": c_lo,
             f"compute_section_sec_{hi}": c_hi,
             "compute_section_efficiency": round((c_lo / c_hi) / (hi / lo), 3),
+            # per-stage walls at both widths: the ratio per stage shows
+            # which stages scale with width and which are the single-box
+            # floor (BASELINE.md §5 stage attribution, now in every run)
+            f"stage_wall_sec_{lo}": out[lo].get("stage_wall_sec", {}),
+            f"stage_wall_sec_{hi}": out[hi].get("stage_wall_sec", {}),
         }
 
     lo, hi = pairs[0]

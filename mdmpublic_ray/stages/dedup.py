@@ -236,7 +236,19 @@ def dedup_winner_split(
     scale the key set is corpus-sized and cannot ship to every task) —
     callers fall back to a shuffle plan. CALLER CONTRACT: ``ds`` is
     scanned twice (keys pass + filter pass) — pass a materialized or
-    cheap-to-rescan dataset (a parquet read with column pruning is)."""
+    cheap-to-rescan dataset (a parquet read with column pruning is).
+
+    Physical note: the winner table must fit the broadcast budget anyway
+    (that is this plan's admission test), so when the map-side partial
+    volume is also driver-sized the keys pass needs NO shuffle round —
+    the per-block partials stream to the driver and combine there
+    (``winner_final``), exactly the build the plan already does after
+    the shuffle. The collection aborts to the keys-shuffle path the
+    moment the pulled rows exceed a cap proportional to the broadcast
+    budget, so a corpus-sized key set never lands on the driver. At a
+    242k-page corpus this removes ~1.5-2 s of width-invariant shuffle
+    latency from the pipeline's first stage at EVERY width (it is part
+    of the single-box floor F in BASELINE.md §3/§5)."""
     import pyarrow.compute as pc
 
     from .util import bucketed_map_groups, pruned_scan
@@ -261,23 +273,49 @@ def dedup_winner_split(
              "_n_at": n.reindex(mx.index).to_numpy().astype("int64")}
         )
 
-    winners = bucketed_map_groups(
-        pruned_scan(ds, [key, ts_col]).map_batches(
-            winner_partial, batch_format="pandas"
-        ),
-        key,
-        winner_final,
-        n_buckets=n_buckets,
-    ).materialize()
-    n_keys = winners.count()
-    if not (0 < n_keys <= winner_broadcast_rows):
+    partials = pruned_scan(ds, [key, ts_col]).map_batches(
+        winner_partial, batch_format="pandas"
+    )
+
+    # shuffle-free keys pass: stream the per-block partials to the
+    # driver and combine once. Pull volume = sum of per-block distinct
+    # keys (<= input rows; ~1.3x the winner table on real crawls) —
+    # the same order as the driver pull the broadcast build does below
+    # anyway. Abort past the cap (pathological block-overlap or a
+    # corpus-sized key set) and compute winners via the bucketed
+    # shuffle instead, preserving every regime's plan.
+    cap = max(2 * winner_broadcast_rows, 1 << 20)
+    parts: list[pd.DataFrame] = []
+    pulled = 0
+    for b in partials.iter_batches(batch_format="pandas"):
+        parts.append(b)
+        pulled += len(b)
+        if pulled > cap:
+            parts = []
+            break
+    comb: pd.DataFrame | None = None
+    if parts:
+        comb = winner_final(pd.concat(parts, ignore_index=True))
+    elif pulled:
+        # medium regime: partial volume beyond the driver cap but the
+        # key set may still fit the broadcast budget — the classic
+        # keys-only bucketed shuffle computes the winner table.
+        winners = bucketed_map_groups(
+            partials, key, winner_final, n_buckets=n_buckets
+        ).materialize()
+        n_keys = winners.count()
+        if not (0 < n_keys <= winner_broadcast_rows):
+            return None
+        comb = pd.concat(
+            [b for b in winners.iter_batches(batch_format="pandas")],
+            ignore_index=True,
+        )
+    if comb is None or not (0 < len(comb) <= winner_broadcast_rows):
         return None
 
     import ray
 
-    wt = pa.concat_tables(
-        [pa.table(b) for b in winners.iter_batches(batch_format="pyarrow")]
-    ).combine_chunks()
+    wt = pa.Table.from_pandas(comb, preserve_index=False).combine_chunks()
     wt = wt.take(pc.sort_indices(wt[key]))
     multi = wt.filter(pc.greater(wt["_n_at"], 1))[key].combine_chunks()
     wref = ray.put(
