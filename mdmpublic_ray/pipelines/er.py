@@ -213,8 +213,11 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
 
             src = widen_scan(src, cfg.num_partitions)
         cols = src.schema().names
+        # pruned_scan, not select_columns: pushes the projection into
+        # the (row-group-widened) read so the `text` column is never
+        # decoded — select_columns would decode-then-drop it
         slim = (
-            src.select_columns([c for c in cols if c != "text"])
+            pruned_scan(src, [c for c in cols if c != "text"])
             if "text" in cols
             else src
         )

@@ -36,6 +36,123 @@ def dataset_arrow_schema(ds) -> pa.Schema:
     return pa.schema([(n, as_arrow_type(t)) for n, t in zip(s.names, s.types)])
 
 
+from ray.data.datasource import Datasource as _RayDatasource
+
+
+class RowGroupParquetDatasource(_RayDatasource):
+    """Parquet source that issues one read task per ROW GROUP (chunked
+    to the requested parallelism) instead of one per file.
+
+    Ray 2.49's ``ParquetDatasource.get_read_tasks`` splits tasks by FILE
+    fragment — a single 430 MB file is always ONE read task no matter
+    the ``override_num_blocks`` (the split happens AFTER the serial
+    decode, in ``SplitBlocks``). That serializes the whole decode onto
+    one core: measured 2.1 s flat at 4 and 32 CPUs on the 242k-page
+    scaling corpus — the largest single width-invariant term in the
+    pipeline's floor F. Real 100 TB inputs are thousands of files and
+    never hit this; single- or few-file inputs (test corpora, bench
+    runs, small user datasets) do.
+
+    Scope guards (``widen_scan`` only engages it under these): local
+    filesystem, no hive partition columns in play, no row filter, no
+    block UDF. ``columns=`` prunes at the read exactly like
+    ``read_parquet(columns=...)``; per-row-group sizes come from parquet
+    metadata so the executor sees real size estimates.
+    """
+
+    def __init__(self, paths: list[str], *, columns: list[str] | None = None):
+        import pyarrow.parquet as pq
+
+        self._paths = list(paths)
+        self._columns = list(columns) if columns is not None else None
+        self._frags: list[tuple[str, int, int, int]] = []  # path, rg, rows, bytes
+        self._schema: pa.Schema | None = None
+        for p in self._paths:
+            f = pq.ParquetFile(p)
+            md = f.metadata
+            sch = f.schema_arrow
+            if self._columns is not None:
+                sch = pa.schema([sch.field(c) for c in self._columns])
+            if self._schema is None:
+                self._schema = sch
+            names = (
+                self._columns
+                if self._columns is not None
+                else [md.schema.column(j).name for j in range(md.num_columns)]
+            )
+            all_names = [md.schema.column(j).name for j in range(md.num_columns)]
+            sel = [all_names.index(c) for c in names]
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                nbytes = sum(rg.column(j).total_uncompressed_size for j in sel)
+                self._frags.append((p, i, rg.num_rows, nbytes))
+
+    # --- ray.data.Datasource protocol (duck-typed; the abstract base
+    # adds nothing we need and keeps this import-light) ---
+    def get_name(self) -> str:
+        return "RowGroupParquet"
+
+    @property
+    def supports_distributed_reads(self) -> bool:
+        return False  # local-fs paths only (scope guard above)
+
+    def estimate_inmemory_data_size(self):
+        return sum(b for _, _, _, b in self._frags)
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        n = max(1, min(parallelism, len(self._frags)))
+        cols = self._columns
+        chunks = np.array_split(np.arange(len(self._frags)), n)
+        tasks = []
+        for idx in chunks:
+            if len(idx) == 0:
+                continue
+            part = [self._frags[i] for i in idx]
+
+            def read_fn(part=part, cols=cols):
+                import pyarrow.parquet as pq
+
+                by_path: dict[str, list[int]] = {}
+                for p, rg, _, _ in part:
+                    by_path.setdefault(p, []).append(rg)
+                for p, rgs in by_path.items():
+                    yield pq.ParquetFile(p).read_row_groups(
+                        rgs, columns=cols, use_threads=False
+                    )
+
+            meta = BlockMetadata(
+                num_rows=sum(r for _, _, r, _ in part),
+                size_bytes=sum(b for _, _, _, b in part),
+                exec_stats=None,
+                input_files=sorted({p for p, _, _, _ in part}),
+            )
+            tasks.append(ReadTask(read_fn, meta, schema=self._schema))
+        return tasks
+
+
+def _is_local_fs(fs) -> bool:
+    try:
+        import pyarrow.fs as pafs
+
+        return isinstance(fs, pafs.LocalFileSystem)
+    except Exception:
+        return False
+
+
+def _rg_read(paths, columns, n_tasks):
+    """``read_datasource`` over :class:`RowGroupParquetDatasource` with
+    one task per row group (capped). Raises if any path/column is
+    unreadable — callers fall back."""
+    import ray.data as rd
+
+    src = RowGroupParquetDatasource(paths, columns=columns)
+    n = max(1, min(len(src._frags), max(int(n_tasks), 1), 512))
+    return rd.read_datasource(src, override_num_blocks=n)
+
+
 def pruned_scan(ds, cols: list[str]):
     """Column-pruned view of ``ds``, pushing the projection into the
     parquet READ when provably safe.
@@ -77,6 +194,15 @@ def pruned_scan(ds, cols: list[str]):
         )
 
         dsrc = dag._datasource
+        if isinstance(dsrc, RowGroupParquetDatasource):
+            # a widened row-group read: re-issue it with the projection
+            # pushed down (same path the plain parquet fast path takes)
+            have = dsrc._columns
+            if have is not None and not set(cols) <= set(have):
+                return ds.select_columns(cols)
+            if visible is not None and not set(cols) <= visible:
+                return ds.select_columns(cols)
+            return _rg_read(dsrc._paths, list(cols), len(dsrc._frags))
         if not isinstance(dsrc, ParquetDatasource):
             return ds.select_columns(cols)
         if (
@@ -167,6 +293,28 @@ def widen_scan(ds, min_blocks: int):
         paths = list(dsrc._pq_paths)
         if len(paths) >= min_blocks:
             return ds
+        if getattr(dsrc, "_filesystem", None) is None or _is_local_fs(
+            dsrc._filesystem
+        ):
+            # row-group-parallel read: the ONLY way to widen past file
+            # count in ray 2.49 (override_num_blocks on a 1-file read
+            # still decodes in ONE task; SplitBlocks splits after the
+            # serial decode — see RowGroupParquetDatasource)
+            try:
+                cols2 = None
+                if visible is not None:
+                    cols2 = sorted(visible)
+                else:
+                    existing = getattr(dsrc, "_data_columns", None)
+                    cols2 = list(existing) if existing is not None else None
+                if cols2 is not None:
+                    for p in paths:
+                        for seg in p.split("/"):
+                            if "=" in seg and seg.split("=", 1)[0] in set(cols2):
+                                raise ValueError("hive column collision")
+                return _rg_read(paths, cols2, min_blocks)
+            except Exception:
+                pass  # fall through to the override_num_blocks re-issue
         cols = None
         if visible is not None:
             data_cols = getattr(dsrc, "_data_columns", None)
