@@ -49,7 +49,10 @@ def _local_components(edges_sym, nodes_ds):
     import pandas as pd
     import ray
 
-    batches = [pa.table(b) for b in edges_sym.iter_batches(batch_format="pyarrow")]
+    # one parallel ray.get over the materialized blocks — the
+    # iter_batches stream's driver-serial prefetch machinery measured
+    # ~5x slower at the 242k-page scale (see dedup.py keys pass)
+    batches = [b for b in ray.get(edges_sym.to_arrow_refs()) if b.num_rows]
     t = pa.concat_tables(batches).combine_chunks()
     src = t["src"].to_pandas()
     dst = t["dst"].to_pandas()

@@ -273,29 +273,39 @@ def dedup_winner_split(
              "_n_at": n.reindex(mx.index).to_numpy().astype("int64")}
         )
 
+    def winner_partial_arrow(t: pa.Table) -> pa.Table:
+        # arrow-out so the materialized blocks pull zero-copy via
+        # to_arrow_refs (pandas blocks would convert at pull time)
+        return pa.Table.from_pandas(
+            winner_partial(t.to_pandas()), preserve_index=False
+        )
+
     partials = pruned_scan(ds, [key, ts_col]).map_batches(
-        winner_partial, batch_format="pandas"
+        winner_partial_arrow, batch_format="pyarrow"
     )
 
-    # shuffle-free keys pass: stream the per-block partials to the
-    # driver and combine once. Pull volume = sum of per-block distinct
-    # keys (<= input rows; ~1.3x the winner table on real crawls) —
-    # the same order as the driver pull the broadcast build does below
-    # anyway. Abort past the cap (pathological block-overlap or a
-    # corpus-sized key set) and compute winners via the bucketed
-    # shuffle instead, preserving every regime's plan.
+    # shuffle-free keys pass: materialize the per-block partials (they
+    # stay in plasma), check the total row count from METADATA (free),
+    # then pull the blocks in one parallel ray.get — measured 0.09 s vs
+    # 0.47 s for the equivalent iter_batches stream at 242k pages (the
+    # iterator's per-batch pandas conversion + prefetch machinery is
+    # driver-serial). Pull volume = sum of per-block distinct keys
+    # (<= input rows; ~1.3x the winner table on real crawls) — the same
+    # order as the driver pull the broadcast build does below anyway.
+    # Past the cap (pathological block-overlap or a corpus-sized key
+    # set) nothing is pulled at all: the bucketed keys-only shuffle
+    # computes the winner table instead, preserving every regime's plan.
+    import ray
+
     cap = max(2 * winner_broadcast_rows, 1 << 20)
-    parts: list[pd.DataFrame] = []
-    pulled = 0
-    for b in partials.iter_batches(batch_format="pandas"):
-        parts.append(b)
-        pulled += len(b)
-        if pulled > cap:
-            parts = []
-            break
+    partials = partials.materialize()
+    pulled = partials.count()
     comb: pd.DataFrame | None = None
-    if parts:
-        comb = winner_final(pd.concat(parts, ignore_index=True))
+    if 0 < pulled <= cap:
+        t = pa.concat_tables(
+            [b for b in ray.get(partials.to_arrow_refs()) if b.num_rows]
+        )
+        comb = winner_final(t.to_pandas())
     elif pulled:
         # medium regime: partial volume beyond the driver cap but the
         # key set may still fit the broadcast budget — the classic

@@ -66,8 +66,11 @@ def golden_records(
         # Arrow-native broadcast: the payload is the slim table's columns
         # (one driver concat = memcpy, zero to_pylist loops); the attach
         # is a hash lookup (pc.index_in) + takes — all C kernels.
+        # materialize + parallel ray.get beats the driver-serial
+        # iter_batches stream (see scoring.py broadcast build)
+        _m = slim.materialize()
         tbl = pa.concat_tables(
-            [pa.table(b) for b in slim.iter_batches(batch_format="pyarrow")]
+            [b for b in ray.get(_m.to_arrow_refs()) if b.num_rows]
         ).combine_chunks()
         ref = ray.put(
             (

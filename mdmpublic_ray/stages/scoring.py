@@ -475,13 +475,18 @@ def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int,
         return pa.table(cols)
 
     feat_cols = ["uid", "url", "title", "sketch"] + (["emb"] if emb_weight else [])
+    # materialize + one parallel ray.get: the iter_batches stream pulls
+    # driver-serially (measured ~5x slower on the ~MB/row sketch
+    # payload at 242k pages — this pull IS the broadcast-path floor)
+    import ray as _ray
+
+    _feat_mat = (
+        pruned_scan(features_ds, feat_cols)
+        .map_batches(to_fixed, batch_format="pyarrow")
+        .materialize()
+    )
     tbl = pa.concat_tables(
-        [
-            pa.table(b)
-            for b in pruned_scan(features_ds, feat_cols)
-            .map_batches(to_fixed, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
-        ]
+        [b for b in _ray.get(_feat_mat.to_arrow_refs()) if b.num_rows]
     ).combine_chunks()
     tbl = tbl.take(pc.sort_indices(tbl["uid"]))
     sk = tbl["skfix"].combine_chunks()
