@@ -38,6 +38,24 @@ from .util import bucketed_join, default_partitions, grouped_agg
 LOCAL_EDGE_THRESHOLD = 1_000_000
 
 
+def _pointer_jump(a, b, n: int):
+    """Min-label propagation with pointer jumping over int edge arrays
+    (``a[i] — b[i]`` must include both directions). O(E) numpy per round,
+    O(log n) rounds; returns the component-min RANK per node rank."""
+    import numpy as np
+
+    lbl = np.arange(n, dtype=np.int64)
+    for _ in range(64):  # bound is slack: fixpoint reached in log rounds
+        old = lbl
+        nxt = lbl.copy()
+        np.minimum.at(nxt, a, lbl[b])  # edge relax
+        nxt = nxt[nxt]  # pointer jump
+        lbl = nxt
+        if np.array_equal(old, lbl):
+            break
+    return lbl
+
+
 def _local_components(edges_sym, nodes_ds):
     """Driver-side closure for small edge sets, fully vectorized: urls
     are factorized to their LEXICOGRAPHIC RANKS (so min-label = min-url,
@@ -73,15 +91,7 @@ def _local_components(edges_sym, nodes_ds):
     b = rank_of_code[codes[e:]]
     url_of_rank = np.asarray(uniq_arr.take(pa.array(order)).to_pandas(), dtype=object)
 
-    lbl = np.arange(len(uniq_arr), dtype=np.int64)
-    for _ in range(64):  # pointer jumping: O(log n) rounds, bound is slack
-        old = lbl
-        nxt = lbl.copy()
-        np.minimum.at(nxt, a, lbl[b])  # edge relax (edges_sym is symmetric)
-        nxt = nxt[nxt]  # pointer jump
-        lbl = nxt
-        if np.array_equal(old, lbl):
-            break
+    lbl = _pointer_jump(a, b, len(uniq_arr))
     labels = pd.Series(url_of_rank[lbl], index=url_of_rank)
     ref = ray.put(labels)
 
@@ -94,6 +104,71 @@ def _local_components(edges_sym, nodes_ds):
 
     return nodes_ds.map_batches(
         functools.partial(_label_batch, labels_ref=ref), batch_format="pyarrow"
+    )
+
+
+def _int_edge_components(edges_sym, endpoints_ds, nodes_ds):
+    """Medium-regime closure: the EDGE list is too big to pull as url
+    strings (the local path's limit) but the distinct ENDPOINTS fit a
+    broadcast and the edge list fits the driver as int64 pairs.
+
+    One string exchange total — the distinct-endpoint aggregate the
+    caller already computed — replaces the distributed rounds' two
+    string joins + union-groupby PER ROUND (urls are ~60 B, the int
+    rank 8 B; at the 1M-page soak the rounds moved ~3 GB of strings per
+    round and cost 34.5 s of the 91 s wall). Endpoints pull to the
+    driver, sort once (rank = lexicographic rank, so min-rank = min-url
+    and cluster ids are bit-identical to the other two paths), the rank
+    dictionary broadcasts, workers map edges to int pairs in parallel
+    (per-worker cached pandas hash index), the driver closes the
+    components over the int pairs, and labels broadcast back exactly
+    like the local path.
+
+    Admission is the caller's: endpoint count and edge count under the
+    driver budgets (~0.5 GB strings / ~1.6 GB int pairs on a 128 GiB
+    box). True web-scale graphs exceed them and take the distributed
+    rounds."""
+    import functools
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    eps = pa.concat_tables(
+        [b.select(["src"]) for b in ray.get(endpoints_ds.to_arrow_refs()) if b.num_rows]
+    ).combine_chunks()
+    urls = eps["src"].combine_chunks()
+    sorted_urls = urls.take(pc.sort_indices(urls))
+    ref = ray.put(sorted_urls)
+
+    def to_int(t: pa.Table, urls_ref) -> pa.Table:
+        key = ("intcc", urls_ref.hex())
+        if key not in _LBL_CACHE:
+            _LBL_CACHE.clear()
+            arr = ray.get(urls_ref)
+            _LBL_CACHE[key] = pd.Index(arr.to_pandas())
+        idx = _LBL_CACHE[key]
+        return pa.table(
+            {
+                "a": pa.array(idx.get_indexer(t["src"].to_pandas()), pa.int64()),
+                "b": pa.array(idx.get_indexer(t["dst"].to_pandas()), pa.int64()),
+            }
+        )
+
+    ie = edges_sym.map_batches(
+        functools.partial(to_int, urls_ref=ref), batch_format="pyarrow"
+    ).materialize()
+    tb = pa.concat_tables(
+        [b for b in ray.get(ie.to_arrow_refs()) if b.num_rows]
+    ).combine_chunks()
+    a = tb["a"].to_numpy(zero_copy_only=False)
+    b = tb["b"].to_numpy(zero_copy_only=False)
+    lbl = _pointer_jump(a, b, len(sorted_urls))
+    url_of_rank = np.asarray(sorted_urls.to_pandas(), dtype=object)
+    labels = pd.Series(url_of_rank[lbl], index=url_of_rank)
+    lref = ray.put(labels)
+    return nodes_ds.map_batches(
+        functools.partial(_label_batch, labels_ref=lref), batch_format="pyarrow"
     )
 
 
@@ -128,6 +203,8 @@ def connected_components(
     max_rounds: int = 15,
     checkpoint_fn=None,
     local_threshold: int = LOCAL_EDGE_THRESHOLD,
+    int_cc_max_nodes: int = 8_000_000,
+    int_cc_max_edges: int = 100_000_000,
 ):
     """edges(url_a, url_b) + nodes(url) → clusters(url, cluster_id).
 
@@ -136,6 +213,14 @@ def connected_components(
     round when given (per-round checkpointing, SURVEY.md §7.1 M5).
     ``local_threshold``: edge count under which the driver finishes the
     closure locally (0 forces the distributed rounds — used in tests).
+
+    Three size-aware physical plans, result-invariant: (1) small — edge
+    strings pull to the driver; (2) medium — distinct endpoints under
+    ``int_cc_max_nodes`` (~0.5 GB of url strings broadcast) and
+    symmetric edges under ``int_cc_max_edges`` (int64 pairs on a
+    128 GiB driver): ONE endpoint string exchange then an int-rank
+    driver closure; (3) web-scale — distributed min-label rounds.
+    Set both int caps to 0 to force the distributed rounds.
     """
     P = num_partitions or default_partitions()
 
@@ -175,20 +260,33 @@ def connected_components(
     # (grouped_agg, not groupby().aggregate — see util.py: the latter
     # spins aggregator actors per call, ~1 s fixed latency × 2 calls ×
     # rounds in this loop)
-    labels = (
-        grouped_agg(edges_sym, ["src"], {"nbr_min": ("dst", "min")}, n_buckets=P)
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "url": t["src"],
-                    # round 0 folded in: label = min(self, min neighbor)
-                    "label": pc.min_element_wise(t["src"], t["nbr_min"]),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+    endpoints = grouped_agg(
+        edges_sym, ["src"], {"nbr_min": ("dst", "min")}, n_buckets=P
+    ).materialize()
+    n_nodes = endpoints.count()
+
+    # medium regime: edges too big to pull as STRINGS (the local path's
+    # limit) but the distinct endpoints fit a broadcast and the edges
+    # fit the driver as int64 pairs — close over int ranks, one string
+    # exchange total (the endpoint aggregate above, which the
+    # distributed rounds need anyway as their init). Bit-identical
+    # cluster ids: rank = lexicographic rank, min-rank = min-url.
+    if n_nodes <= int_cc_max_nodes and n_edges <= int_cc_max_edges:
+        result = _int_edge_components(edges_sym, endpoints, nodes_ds)
+        if checkpoint_fn is not None:
+            checkpoint_fn(0, result)
+        return result
+
+    labels = endpoints.map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["src"],
+                # round 0 folded in: label = min(self, min neighbor)
+                "label": pc.min_element_wise(t["src"], t["nbr_min"]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
 
     def checksum(lbl_ds) -> int:
         def h(batch: pa.Table) -> pa.Table:

@@ -146,7 +146,21 @@ def test_local_and_distributed_cc_agree(ray_session, small_er):
         )
 
     local = canon(connected_components(edges, nodes, num_partitions=8))
-    dist = canon(
+    # local_threshold=0 falls through to the MEDIUM plan (int-rank
+    # driver closure); zeroing the int caps too forces the distributed
+    # min-label rounds — all three must agree bit-for-bit
+    medium = canon(
         connected_components(edges, nodes, num_partitions=8, local_threshold=0)
     )
+    dist = canon(
+        connected_components(
+            edges,
+            nodes,
+            num_partitions=8,
+            local_threshold=0,
+            int_cc_max_nodes=0,
+            int_cc_max_edges=0,
+        )
+    )
+    pd.testing.assert_frame_equal(local, medium)
     pd.testing.assert_frame_equal(local, dist)
