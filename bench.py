@@ -264,6 +264,8 @@ def _run_bench() -> dict:
         # round-3 multimodal + LSH-join scale path
         "pages_media_features",
         "embeddings_neardup_lsh",
+        # round-3 close: SemDeDup clustering-bucketed near-dup path
+        "embeddings_semdedup",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

@@ -2253,6 +2253,24 @@ def q_embeddings_neardup_lsh(sf_dir: str):
     return lsh_neardup_pairs(ds, tau=0.45, n_bits=4, n_tables=12)
 
 
+def q_embeddings_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540) —
+    the clustering-bucketed scale path of the embedding near-dup family
+    (exact: `embeddings_neardup`; LSH: `embeddings_neardup_lsh`):
+    sample-trained spherical k-means keys every vector by nearest
+    centroid (one broadcast-assign map), then an id-ordered greedy
+    keep-scan drops cosine >= tau duplicates WITHIN each cluster —
+    tiled, so per-task memory is O(tile x cluster), never O(cluster^2).
+    Output: (vec_id, centroid_id, keep, dup_of witness). Rows-only
+    (float k-means has no SQL form); precision-1.0 witness contract,
+    within-cluster no-kept-pair invariant and planted-truth recovery
+    are pinned by tests/test_ann.py::test_semantic_dedup*."""
+    from ..stages.ann import semantic_dedup
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, tau=0.9, k=8, n_iters=4)
+
+
 def q_pages_image_dedup(sf_dir: str):
     """Perceptual-hash image dedup: 64-bit dHash (luminance → 8×9
     nearest-neighbor reduce → gradient sign) per decoded payload, then
@@ -4488,6 +4506,7 @@ QUERIES = {
     "pages_media_thumbs": q_pages_media_thumbs,
     "pages_image_dedup": q_pages_image_dedup,
     "embeddings_neardup_lsh": q_embeddings_neardup_lsh,
+    "embeddings_semdedup": q_embeddings_semdedup,
 }
 
 ORACLE_SQL = {

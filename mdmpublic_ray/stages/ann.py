@@ -662,3 +662,127 @@ def distributed_kmeans(ds, *, k: int = 8, n_iters: int = 5):
         )
 
     return ds.map_batches(assign, batch_format="pyarrow"), cents
+
+
+def semantic_dedup(
+    ds,
+    *,
+    tau: float = 0.9,
+    k: int = 64,
+    n_iters: int = 4,
+    n_buckets: int = 64,
+    tile: int = 2048,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then drop
+    near-duplicates (cosine >= ``tau``) WITHIN each cluster, keeping the
+    smallest vec_id of every duplicate chain — the clustering-bucketed
+    scale path of the embedding near-dup family, beside the exact
+    triangle-tiled join (simjoin.cosine_pairs_tiled) and the LSH-bucket
+    join (lsh_neardup_pairs).
+
+    Physical plan (100 TB shape): the quantizer trains on a bounded
+    deterministic sample (`_kmeans_centroids`); ONE broadcast-assign map
+    keys every vector by nearest centroid; one bucketed exchange groups
+    clusters; the greedy keep-scan runs per cluster, tiled so memory is
+    O(tile x cluster) not O(cluster^2) — cluster sizes are ~N/k, the
+    partitioning assumption callers size ``k`` for. Deterministic:
+    id-ordered greedy (first-seen id wins a duplicate chain), sample
+    -trained centroids are seed-stable.
+
+    Recall caveat (inherent to SemDeDup, documented in the paper): a
+    near-dup pair split across two k-means clusters is not examined —
+    precision is 1.0 (every drop has a kept witness at >= tau in its
+    cluster), recall depends on clustering quality.
+
+    Returns rows (vec_id, centroid_id, keep, dup_of) where ``dup_of``
+    is the kept witness for dropped rows (null when keep)."""
+    import functools
+
+    import ray
+
+    cents = _kmeans_centroids(ds, k, n_iters)
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table, cents_ref) -> pa.Table:
+        c = _ANN_CACHE.get(("semdedup", cents_ref.hex()))
+        if c is None:
+            _ANN_CACHE.clear()
+            c = ray.get(cents_ref)
+            _ANN_CACHE[("semdedup", cents_ref.hex())] = c
+        m = _normalize(_embedding_matrix(t))
+        a = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": t["embedding"],
+                "centroid_id": pa.array(a),
+            }
+        )
+
+    assigned = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        functools.partial(assign, cents_ref=ref), batch_format="pyarrow"
+    )
+
+    def dedup_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize(
+            np.stack(df["embedding"].to_numpy()[order]).astype(np.float64)
+        )
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        # tiled greedy in id order: for each tile, (a) drop members
+        # covered by an ALREADY-KEPT earlier row (one matmul against the
+        # kept prefix), then (b) resolve intra-tile chains with the
+        # tile's own similarity matrix — O(tile x n) memory, no n x n.
+        for s in range(0, n, tile):
+            e = min(s + tile, n)
+            blk = m[s:e]
+            kept_prefix = np.flatnonzero(keep[:s])
+            if kept_prefix.size:
+                sims = blk @ m[kept_prefix].T  # (tile, kept)
+                cover = sims >= tau
+                hit = cover.any(axis=1)
+                first = np.argmax(cover, axis=1)
+                for j in np.flatnonzero(hit):
+                    keep[s + j] = False
+                    dup_of[s + j] = kept_prefix[first[j]]
+            S = blk @ blk.T
+            for j in range(e - s):
+                i = s + j
+                if not keep[i]:
+                    continue
+                dups = S[j] >= tau
+                dups[: j + 1] = False
+                for l in np.flatnonzero(dups):
+                    if keep[s + l]:
+                        keep[s + l] = False
+                        dup_of[s + l] = i
+        witness = pd.array(ids[np.maximum(dup_of, 0)], dtype="Int64")
+        witness[keep] = pd.NA
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "centroid_id": df["centroid_id"].to_numpy()[order],
+                "keep": keep,
+                "dup_of": witness,
+            }
+        )
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # a bucket holds every cluster hashing to it — dedup per cluster
+        parts = [
+            dedup_cluster(g)
+            for _, g in df.groupby("centroid_id", sort=False)
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    return bucketed_map_groups(
+        assigned, "centroid_id", dedup_bucket, n_buckets=n_buckets
+    )
+
+
+_ANN_CACHE: dict = {}

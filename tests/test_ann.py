@@ -215,3 +215,129 @@ def test_distributed_kmeans(ray_session):
     a2 = distributed_kmeans(ds, k=k, n_iters=4)[0].to_pandas()
     a2 = a2.sort_values("vec_id")["centroid_id"].to_numpy()
     assert np.array_equal(a, a2)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (stages/ann.py semantic_dedup)
+# ---------------------------------------------------------------------------
+
+
+def _planted_semdedup_ds(n_groups=6, dups_per_group=4, n_noise=40, d=16, seed=7):
+    """Tight duplicate groups (cos ~ 1 within, well separated between)
+    plus lone noise vectors nowhere near tau of anything."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_groups, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs, ids, truth = [], [], {}
+    vid = 0
+    for g in range(n_groups):
+        members = []
+        for _ in range(dups_per_group):
+            v = base[g] + rng.normal(scale=1e-3, size=d)  # cos ~ 0.999+
+            vecs.append(v / np.linalg.norm(v))
+            members.append(vid)
+            ids.append(vid)
+            vid += 1
+        truth[g] = members
+    for _ in range(n_noise):
+        v = rng.normal(size=d)
+        vecs.append(v / np.linalg.norm(v))
+        ids.append(vid)
+        vid += 1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    return rd.from_arrow(tbl), truth, np.stack(vecs)
+
+
+def test_semantic_dedup_planted_truth(ray_session):
+    """Every tight planted group collapses to its min-id member; noise
+    survives untouched (noise cos is far below tau)."""
+    import numpy as np
+
+    from mdmpublic_ray.stages.ann import semantic_dedup
+
+    ds, truth, _ = _planted_semdedup_ds()
+    out = semantic_dedup(ds, tau=0.95, k=8, n_iters=4).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    kept = set(out[out["keep"]]["vec_id"])
+    n_groups = len(truth)
+    for g, members in truth.items():
+        surv = kept & set(members)
+        assert surv == {min(members)}, (g, surv)
+    # noise ids all kept
+    max_planted = max(max(m) for m in truth.values())
+    noise = out[out["vec_id"] > max_planted]
+    assert noise["keep"].all()
+    # witness contract: every dropped row names a kept row at >= tau
+    dropped = out[~out["keep"]]
+    assert dropped["dup_of"].notna().all()
+    assert set(dropped["dup_of"].astype("int64")) <= kept
+
+
+def test_semantic_dedup_invariants(ray_session):
+    """(a) no two KEPT rows in one cluster are >= tau; (b) every drop's
+    witness is in the SAME cluster, kept, with a smaller id, and really
+    at >= tau cosine — precision 1.0 by construction."""
+    import numpy as np
+
+    from mdmpublic_ray.stages.ann import semantic_dedup
+
+    ds, _, vecs = _planted_semdedup_ds()
+    tau = 0.95
+    out = semantic_dedup(ds, tau=tau, k=8, n_iters=4).to_pandas()
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    by_id = out.set_index("vec_id")
+    for cid, grp in out.groupby("centroid_id"):
+        kept_ids = grp[grp["keep"]]["vec_id"].to_numpy()
+        if len(kept_ids) > 1:
+            km = m[kept_ids]
+            S = km @ km.T
+            np.fill_diagonal(S, 0.0)
+            assert S.max() < tau, (cid, S.max())
+    for _, row in out[~out["keep"]].iterrows():
+        w = int(row["dup_of"])
+        assert by_id.loc[w, "keep"]
+        assert by_id.loc[w, "centroid_id"] == row["centroid_id"]
+        assert w < row["vec_id"]
+        assert float(m[int(row["vec_id"])] @ m[w]) >= tau
+
+
+def test_semantic_dedup_deterministic_and_tiling_invariant(ray_session):
+    """Same result across runs AND across tile sizes (the tiled greedy
+    must equal the one-shot greedy)."""
+    from mdmpublic_ray.stages.ann import semantic_dedup
+
+    ds, _, _ = _planted_semdedup_ds()
+
+    def canon(res):
+        return (
+            res.to_pandas()
+            .astype({"dup_of": "Int64"})
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+
+    a = canon(semantic_dedup(ds, tau=0.95, k=8, n_iters=4))
+    b = canon(semantic_dedup(ds, tau=0.95, k=8, n_iters=4))
+    c = canon(semantic_dedup(ds, tau=0.95, k=8, n_iters=4, tile=3))
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_semantic_dedup_query_runs_on_testdata(ray_session):
+    from mdmpublic_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["embeddings_semdedup"](SF).to_pandas()
+    assert len(out) == 500  # one row per embedding
+    assert set(out.columns) == {"vec_id", "centroid_id", "keep", "dup_of"}
+    assert out["keep"].any()
