@@ -381,6 +381,39 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             raise hot_err[0]
         hot_hosts = hot_box["map"]
         hot_hosts_ds = hot_box["ds"]
+
+    # prebuild the broadcast scorer payload CONCURRENTLY with the
+    # blocks/pairs stages (same driver-thread overlap as hot_hosts): the
+    # build needs only `features` (materialized above) and costs ~1 s of
+    # driver pull + string encode — width-invariant floor if left on the
+    # critical path between pairs and scoring. Only when the broadcast
+    # plan will actually be chosen (same size test score_pairs applies).
+    bc_box: dict = {}
+    bc_thread = None
+    from ..stages.scoring import (
+        BROADCAST_FEATURES_THRESHOLD,
+        build_broadcast_features_ref,
+    )
+
+    # resume guard: when a checkpointed `scored` stage looks re-usable,
+    # don't burn a background features scan — if the stage turns out
+    # invalid after all (changed params), score_pairs builds inline.
+    scored_likely_cached = ck is not None and ck.is_valid("scored")
+    if not scored_likely_cached and (
+        0 < features.count() <= BROADCAST_FEATURES_THRESHOLD
+    ):
+        import threading
+
+        def _bc_bg():
+            try:
+                bc_box["ref"] = build_broadcast_features_ref(
+                    features, emb_weight=cfg.emb_weight
+                )
+            except BaseException as exc:  # surfaced at join
+                bc_box["err"] = exc
+
+        bc_thread = threading.Thread(target=_bc_bg, daemon=True)
+        bc_thread.start()
     blocks = stage(
         "blocks",
         lambda: block_keys_stage(
@@ -446,6 +479,12 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             import os as _os
 
             store = _os.path.join(cfg.checkpoint_dir, cfg.run_id, "feature_store")
+        ref = None
+        if bc_thread is not None:
+            bc_thread.join()
+            if "err" in bc_box:
+                raise bc_box["err"]
+            ref = bc_box.get("ref")
         return score_pairs(
             pairs,
             features,
@@ -453,6 +492,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             threshold=cfg.threshold,
             feature_store_dir=store,
             emb_weight=cfg.emb_weight,
+            prebuilt_broadcast_ref=ref,
         )
 
     scored = stage(

@@ -202,6 +202,7 @@ def score_pairs(
     broadcast_threshold: int = BROADCAST_FEATURES_THRESHOLD,
     feature_store_dir: str | None = None,
     emb_weight: float = 0.0,
+    prebuilt_broadcast_ref=None,
 ):
     """pairs(url_a, url_b) ⋈ features ×2 → scored pairs
     (url_a, url_b, jaccard, jw_title, jw_url, [cos_text], score, is_match).
@@ -252,7 +253,8 @@ def score_pairs(
     # features is a materialized stage in run_er → count() is free
     if broadcast_threshold and features_ds.count() <= broadcast_threshold:
         return _score_broadcast(
-            pairs_ds, features_ds, threshold, sketch_k, emb_weight=emb_weight
+            pairs_ds, features_ds, threshold, sketch_k, emb_weight=emb_weight,
+            prebuilt_ref=prebuilt_broadcast_ref,
         )
     if feature_store_dir:
         import os as _os
@@ -448,8 +450,23 @@ def _score_broadcast_batch(
     return pa.table(cols)
 
 
+def build_broadcast_features_ref(features_ds, *, sketch_k: int = 160,
+                                 emb_weight: float = 0.0):
+    """Build (and ``ray.put``) the broadcast feature payload the scorer
+    actors consume — exposed separately from ``_score_broadcast`` so
+    run_er can PREBUILD it on a driver thread concurrently with the
+    blocks/pairs stages (the build needs only ``features``; its ~1 s of
+    driver pull + encode otherwise sits on the critical path between
+    pairs and scoring at every width — pure floor F)."""
+    return _score_broadcast(
+        None, features_ds, 0.0, sketch_k, emb_weight=emb_weight,
+        _build_only=True,
+    )
+
+
 def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int,
-                     emb_weight: float = 0.0):
+                     emb_weight: float = 0.0, prebuilt_ref=None,
+                     _build_only: bool = False):
     import ray
 
     # Pad sketches to fixed width IN THE WORKERS (parallel, per batch);
@@ -474,6 +491,11 @@ def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int,
             cols["emb"] = t["emb"]
         return pa.table(cols)
 
+    if prebuilt_ref is not None:
+        ref = prebuilt_ref
+        return _apply_broadcast_scorer(
+            pairs_ds, ref, threshold, sketch_k, emb_weight
+        )
     feat_cols = ["uid", "url", "title", "sketch"] + (["emb"] if emb_weight else [])
     # materialize + one parallel ray.get: the iter_batches stream pulls
     # driver-serially (measured ~5x slower on the ~MB/row sketch
@@ -520,6 +542,12 @@ def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int,
             emb_mat,
         )
     )
+    if _build_only:
+        return ref
+    return _apply_broadcast_scorer(pairs_ds, ref, threshold, sketch_k, emb_weight)
+
+
+def _apply_broadcast_scorer(pairs_ds, ref, threshold, sketch_k, emb_weight):
     import functools
 
     return pairs_ds.map_batches(
