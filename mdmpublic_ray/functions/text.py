@@ -500,3 +500,97 @@ def canonicalize_package_list(s: str) -> str:
         if name:
             out.add(name)
     return ",".join(sorted(out))
+
+
+def chunk_token_windows(
+    t,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+):
+    """Sliding-window token chunking (the RAG/context-packing prep op):
+    per document, emit windows of ``size`` whitespace tokens every
+    ``stride`` tokens (overlap = size - stride), as
+    (id, chunk_idx, chunk_text, n_tokens) rows.
+
+    Batch-level Arrow/numpy kernel, no per-token Python: token counts
+    come from one ``count_substring`` C kernel; token BOUNDARIES come
+    from one numpy scan of the string column's own UTF-8 value buffer
+    (space positions — splitting at single-space boundaries is
+    UTF-8-safe); chunk texts are rebuilt as a StringArray directly from
+    (offsets, values) buffers — the only Python loop collects byte-
+    slice VIEWS (one per chunk, ~n_chunks slice objects per batch) that
+    a single ``np.concatenate`` memcpys.
+
+    Exactly reproducible in SQL (the conformance oracle):
+    ``unnest(range(0, greatest(len(tokens),1), stride))`` + list slice
+    — a doc with T tokens yields ceil(max(T,1)/stride) chunks, the
+    last possibly short; empty text behaves as one empty token, exactly
+    like ``regexp_split_to_array('', ' ')``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = t[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    if n_docs == 0:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+    n_tok = pc.add(pc.count_substring(arr, " "), 1).to_numpy().astype(np.int64)
+
+    # char-level token boundaries from the utf8 buffer: one byte scan
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n_docs + 1
+    ].astype(np.int64)
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    space_pos = np.flatnonzero(buf[offs[0] : offs[-1]] == 0x20) + offs[0]
+    # global token start/end char positions, doc-major
+    tok_starts = np.sort(np.concatenate([offs[:-1], space_pos + 1]))
+    tok_ends = np.sort(np.concatenate([space_pos, offs[1:]]))
+    tok_base = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=tok_base[1:])
+
+    # chunk fan-out: ceil(max(T,1)/stride) chunks per doc
+    n_chunks = (np.maximum(n_tok, 1) + stride - 1) // stride
+    doc_of = np.repeat(np.arange(n_docs), n_chunks)
+    base = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=base[1:])
+    chunk_idx = np.arange(base[-1], dtype=np.int64) - base[doc_of]
+    s = chunk_idx * stride  # start token (per doc)
+    e = np.minimum(s + size, np.maximum(n_tok[doc_of], 1))  # end token
+    out_n_tokens = e - s
+
+    a = tok_starts[tok_base[doc_of] + s]
+    b = tok_ends[tok_base[doc_of] + e - 1]
+    lengths = b - a
+    out_off = np.zeros(len(lengths) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=out_off[1:])
+    pieces = [buf[x:y] for x, y in zip(a, b)]
+    values = (
+        np.concatenate(pieces) if pieces else np.empty(0, dtype=np.uint8)
+    )
+    chunk_text = pa.StringArray.from_buffers(
+        len(lengths),
+        pa.py_buffer(out_off.tobytes()),
+        pa.py_buffer(values.tobytes()),
+    )
+    ids = t[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(doc_of)),
+            "chunk_idx": pa.array(chunk_idx),
+            "chunk_text": chunk_text,
+            "n_tokens": pa.array(out_n_tokens),
+        }
+    )

@@ -3753,6 +3753,41 @@ def q_docs_top_tokens_mg(sf_dir: str):
 _QUANTILE_QS = ("0.25", "0.5", "0.75", "0.9", "0.99")
 
 
+def q_docs_chunks(sf_dir: str):
+    """Sliding-window token chunking over documents (the RAG / context
+    -packing prep op): 32-token windows every 24 tokens (8-token
+    overlap), one row per (doc, window) with the rejoined chunk text
+    and its token count. Fully vectorized batch kernel
+    (functions/text.py chunk_token_windows): token counts via one
+    count_substring C kernel, boundaries via one numpy scan of the
+    column's own UTF-8 buffer, chunk strings rebuilt from (offsets,
+    values) buffers. Pure map — no shuffle; at 100 TB this runs at
+    read width. Oracle: DuckDB range-unnest + list slice restates the
+    window algebra exactly."""
+    from ..functions.text import chunk_token_windows
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: chunk_token_windows(t, size=32, stride=24),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOCS_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 24)) AS s FROM toks
+)
+SELECT doc_id,
+       CAST(s / 24 AS BIGINT) AS chunk_idx,
+       array_to_string(t[s + 1 : least(s + 32, len(t))], ' ') AS chunk_text,
+       CAST(least(s + 32, len(t)) - s AS BIGINT) AS n_tokens
+FROM starts
+"""
+
+
 def q_docs_len_quantiles_mrl(sf_dir: str):
     """MRL quantile summary (functions/mrl.py) — the bounded-memory
     scale path for ``docs_len_quantiles`` (its exact, oracle-checked
@@ -4433,6 +4468,7 @@ QUERIES = {
     "events_props_tokens": q_events_props_tokens,
     "docs_cluster_split": q_docs_cluster_split,
     "docs_domain_cap": q_docs_domain_cap,
+    "docs_chunks": q_docs_chunks,
     # --- rows-only pipelines, not yet driver-listed ---
     "docs_top_tokens_mg": q_docs_top_tokens_mg,
     "docs_len_quantiles_mrl": q_docs_len_quantiles_mrl,
@@ -4510,6 +4546,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "docs_chunks": SQL_DOCS_CHUNKS,
     "pricing_summary": SQL_PRICING,
     "filter_project_lineitem": SQL_FILTER_PROJECT,
     "top_event_gaps": SQL_TOP_GAPS,

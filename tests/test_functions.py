@@ -128,3 +128,67 @@ class TestPackageCanonicalizer:
             assert c(" ".join(sh)) == canon  # order-insensitive
 
         run()
+
+
+# ---------------------------------------------------------------------------
+# chunk_token_windows (functions/text.py) — RAG sliding-window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_token_windows_window_algebra():
+    import pyarrow as pa
+
+    from mdmpublic_ray.functions.text import chunk_token_windows
+
+    toks = [f"t{i}" for i in range(10)]
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array([" ".join(toks)])})
+    out = chunk_token_windows(t, size=4, stride=3).to_pandas()
+    # starts 0,3,6,9 -> windows [0:4),[3:7),[6:10),[9:10)
+    assert list(out["chunk_idx"]) == [0, 1, 2, 3]
+    assert list(out["n_tokens"]) == [4, 4, 4, 1]
+    assert out["chunk_text"][0] == "t0 t1 t2 t3"
+    assert out["chunk_text"][1] == "t3 t4 t5 t6"
+    assert out["chunk_text"][3] == "t9"
+    # every chunk is a substring of the source (single-space separated)
+    src = " ".join(toks)
+    assert all(c in src for c in out["chunk_text"])
+
+
+def test_chunk_token_windows_unicode_and_edges():
+    import pyarrow as pa
+
+    from mdmpublic_ray.functions.text import chunk_token_windows
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["héllo wörld ünïcode", "", "one"]),
+        }
+    )
+    out = chunk_token_windows(t, size=2, stride=2).to_pandas()
+    by = {(r.doc_id, r.chunk_idx): r for r in out.itertuples()}
+    assert by[(1, 0)].chunk_text == "héllo wörld"
+    assert by[(1, 1)].chunk_text == "ünïcode"
+    # empty text = one empty token (regexp_split_to_array('',' ') parity)
+    assert by[(2, 0)].chunk_text == "" and by[(2, 0)].n_tokens == 1
+    assert by[(3, 0)].chunk_text == "one" and by[(3, 0)].n_tokens == 1
+
+
+def test_chunk_token_windows_sliced_input():
+    """The kernel reads the arrow buffers directly — it must honor a
+    non-zero array offset (sliced batch)."""
+    import pyarrow as pa
+
+    from mdmpublic_ray.functions.text import chunk_token_windows
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b c", "d e", "f", "g h i j"]),
+        }
+    ).slice(1, 2)
+    out = chunk_token_windows(t, size=2, stride=1).to_pandas()
+    assert set(out["doc_id"]) == {2, 3}
+    assert out[out["doc_id"] == 2]["chunk_text"].tolist() == ["d e", "e"]
+    assert out[out["doc_id"] == 3]["chunk_text"].tolist() == ["f"]
