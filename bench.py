@@ -264,8 +264,10 @@ def _run_bench() -> dict:
         # round-3 multimodal + LSH-join scale path
         "pages_media_features",
         "embeddings_neardup_lsh",
-        # round-3 close: SemDeDup clustering-bucketed near-dup path
+        # round-3 close: SemDeDup clustering-bucketed near-dup path +
+        # sliding-window RAG chunking
         "embeddings_semdedup",
+        "docs_chunks",
     ]
     for name in bench_queries:
         t0 = time.monotonic()
