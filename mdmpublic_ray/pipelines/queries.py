@@ -3788,6 +3788,67 @@ FROM starts
 """
 
 
+def q_docs_chunk_dedup(sf_dir: str):
+    """Cross-document chunk-level dedup report over the SAME 32/24
+    token windows as `docs_chunks`: per document, how many of its
+    chunks also occur verbatim anywhere else in the corpus (boilerplate
+    / templated-span detector at window granularity — the token-window
+    sibling of `web_line_dedup` and `docs_cdc_dedup`). Plan: pure-map
+    chunking → ONE chunk-text-bucketed exchange marks duplicate
+    occurrences (per-bucket vectorized transform) → map-side-combined
+    per-doc sum. At 100 TB the exchange would key on a chunk hash;
+    here it keys the full text so the DuckDB window-function oracle
+    restates it exactly."""
+    from ..functions.text import chunk_token_windows
+    from ..stages.util import bucketed_map_groups, partial_sum_groupby
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = docs.map_batches(
+        lambda t: chunk_token_windows(t, size=32, stride=24).select(
+            ["doc_id", "chunk_text"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def mark(df):
+        sz = df.groupby("chunk_text", sort=False)["chunk_text"].transform("size")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "dup": (sz > 1).astype("int64")}
+        )
+
+    marked = bucketed_map_groups(chunks, "chunk_text", mark)
+    out = partial_sum_groupby(
+        marked, ["doc_id"], {"dup": "n_dup_chunks"}, "n_chunks"
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_chunks", "n_dup_chunks"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOCS_CHUNK_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 24)) AS s FROM toks
+),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(t[s + 1 : least(s + 32, len(t))], ' ') AS chunk_text
+  FROM starts
+),
+marked AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY chunk_text) > 1 AS is_dup
+  FROM chunks
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+FROM marked GROUP BY doc_id
+"""
+
+
 def q_docs_len_quantiles_mrl(sf_dir: str):
     """MRL quantile summary (functions/mrl.py) — the bounded-memory
     scale path for ``docs_len_quantiles`` (its exact, oracle-checked
@@ -4469,6 +4530,7 @@ QUERIES = {
     "docs_cluster_split": q_docs_cluster_split,
     "docs_domain_cap": q_docs_domain_cap,
     "docs_chunks": q_docs_chunks,
+    "docs_chunk_dedup": q_docs_chunk_dedup,
     # --- rows-only pipelines, not yet driver-listed ---
     "docs_top_tokens_mg": q_docs_top_tokens_mg,
     "docs_len_quantiles_mrl": q_docs_len_quantiles_mrl,
@@ -4547,6 +4609,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "docs_chunks": SQL_DOCS_CHUNKS,
+    "docs_chunk_dedup": SQL_DOCS_CHUNK_DEDUP,
     "pricing_summary": SQL_PRICING,
     "filter_project_lineitem": SQL_FILTER_PROJECT,
     "top_event_gaps": SQL_TOP_GAPS,
