@@ -535,6 +535,23 @@ def chunk_token_windows(
     arr = t[text_col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    # Input guard (round-3 advice): the buffer scan below assumes a
+    # null-free utf8 value buffer with width-matched offsets. Nulls chunk
+    # as empty text (same as '' under the oracle's regexp_split semantics);
+    # large_string reads int64 offsets; anything else is a loud TypeError.
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type):
+        _off_dtype = np.int32
+    elif pa.types.is_large_string(arr.type):
+        _off_dtype = np.int64
+    else:
+        raise TypeError(
+            f"chunk_token_windows: text column {text_col!r} must be "
+            f"string/large_string, got {arr.type}"
+        )
     n_docs = len(arr)
     if n_docs == 0:
         return pa.table(
@@ -548,7 +565,7 @@ def chunk_token_windows(
     n_tok = pc.add(pc.count_substring(arr, " "), 1).to_numpy().astype(np.int64)
 
     # char-level token boundaries from the utf8 buffer: one byte scan
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+    offs = np.frombuffer(arr.buffers()[1], dtype=_off_dtype)[
         arr.offset : arr.offset + n_docs + 1
     ].astype(np.int64)
     buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
@@ -572,17 +589,27 @@ def chunk_token_windows(
     a = tok_starts[tok_base[doc_of] + s]
     b = tok_ends[tok_base[doc_of] + e - 1]
     lengths = b - a
-    out_off = np.zeros(len(lengths) + 1, dtype=np.int32)
+    # int64 accumulation (round-3 advice): with overlap the output is
+    # ~size/stride × the input bytes, so a near-2-GiB batch can cross
+    # INT32_MAX — emit large_string in that case instead of wrapping.
+    out_off = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=out_off[1:])
     pieces = [buf[x:y] for x, y in zip(a, b)]
     values = (
         np.concatenate(pieces) if pieces else np.empty(0, dtype=np.uint8)
     )
-    chunk_text = pa.StringArray.from_buffers(
-        len(lengths),
-        pa.py_buffer(out_off.tobytes()),
-        pa.py_buffer(values.tobytes()),
-    )
+    if out_off[-1] <= np.iinfo(np.int32).max:
+        chunk_text = pa.StringArray.from_buffers(
+            len(lengths),
+            pa.py_buffer(out_off.astype(np.int32).tobytes()),
+            pa.py_buffer(values.tobytes()),
+        )
+    else:
+        chunk_text = pa.LargeStringArray.from_buffers(
+            len(lengths),
+            pa.py_buffer(out_off.tobytes()),
+            pa.py_buffer(values.tobytes()),
+        )
     ids = t[id_col]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()

@@ -502,6 +502,19 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         params={"threshold": cfg.threshold,
                 **({"emb_weight": cfg.emb_weight} if cfg.emb_weight else {})},
     )
+    # Non-broadcast exit path (round-3 advice): if `scored` was served
+    # from a checkpoint that became valid after the guard check, the
+    # prebuild thread was started but never consumed — join it briefly
+    # so a failing build is at least logged instead of silently dropped.
+    if bc_thread is not None and bc_thread.is_alive():
+        bc_thread.join(timeout=5.0)
+    if "err" in bc_box:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "broadcast-features prebuild failed (unused result): %r",
+            bc_box["err"],
+        )
     edges = scored.map_batches(
         lambda t: t.filter(t["is_match"]).select(["url_a", "url_b"]),
         batch_format="pyarrow",

@@ -173,15 +173,38 @@ def scored_schema(with_cos: bool = False) -> pa.Schema:
 
 
 def _emb_matrix_from_binary(col: pa.Array) -> np.ndarray:
-    """(n,) binary column of packed float32 rows → (n, d) float64."""
+    """(n,) binary column of packed float32 rows → (n, d) float64.
+
+    Zero-copy on the hot path: the features stage always emits equal-width
+    null-free ``pa.binary()`` (blocking._binary_from_flat), so the values
+    buffer is viewed as float32 directly — no ``to_pylist`` / join
+    (round-3 review item). Ragged or null-bearing input (hand-built test
+    tables only) falls back to a per-row decode."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
     if n == 0:
         return np.zeros((0, 0))
-    buf = b"".join(col.to_pylist())
-    m = np.frombuffer(buf, dtype=np.float32).reshape(n, -1)
-    return m.astype(np.float64)
+    if pa.types.is_fixed_size_binary(col.type) and col.null_count == 0:
+        w = col.type.byte_width
+        flat = np.frombuffer(col.buffers()[1], dtype=np.uint8)[
+            col.offset * w : (col.offset + n) * w
+        ]
+        return flat.view(np.float32).reshape(n, -1).astype(np.float64)
+    if pa.types.is_binary(col.type):
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + n + 1
+        ]
+        lens = offs[1:] - offs[:-1]
+        w = int(lens[0]) if n else 0
+        if col.null_count == 0 and w % 4 == 0 and w > 0 and bool((lens == w).all()):
+            flat = np.frombuffer(col.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+            return flat.reshape(n, w).view(np.float32).astype(np.float64)
+    raise TypeError(
+        "emb column must be an equal-width, null-free binary/fixed_size_binary "
+        f"column of packed float32 rows; got {col.type} with "
+        f"{col.null_count} nulls"
+    )
 
 
 def _blend(jac, jwt, jwu, cos, emb_weight: float):

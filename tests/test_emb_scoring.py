@@ -147,3 +147,37 @@ def test_emb_store_path_agrees_with_broadcast(ray_session, corpus_dir, tmp_path)
         )
     )
     pd.testing.assert_frame_equal(fast, store, check_exact=False, atol=1e-12)
+
+
+def test_emb_matrix_from_binary_zero_copy_paths():
+    """Round-3 review item #6: the packed-float32 unpack is buffer-level.
+    Equality across equal-width binary, fixed_size_binary, and a sliced
+    array; ragged input raises instead of silently corrupting."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from mdmpublic_ray.stages.scoring import _emb_matrix_from_binary
+
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((5, 8)).astype(np.float32)
+    rows = [r.tobytes() for r in m]
+
+    var = pa.array(rows, pa.binary())
+    fixed = pa.array(rows, pa.binary(32))
+    np.testing.assert_array_equal(_emb_matrix_from_binary(var), m.astype(np.float64))
+    np.testing.assert_array_equal(_emb_matrix_from_binary(fixed), m.astype(np.float64))
+    # sliced (non-zero offset) arrays honor the offset
+    np.testing.assert_array_equal(
+        _emb_matrix_from_binary(var.slice(2, 3)), m[2:5].astype(np.float64)
+    )
+    np.testing.assert_array_equal(
+        _emb_matrix_from_binary(fixed.slice(1, 2)), m[1:3].astype(np.float64)
+    )
+    # chunked input
+    ch = pa.chunked_array([var.slice(0, 2), var.slice(2, 3)])
+    np.testing.assert_array_equal(_emb_matrix_from_binary(ch), m.astype(np.float64))
+
+    ragged = pa.array([b"\x00" * 4, b"\x00" * 8], pa.binary())
+    with pytest.raises(TypeError, match="equal-width"):
+        _emb_matrix_from_binary(ragged)

@@ -192,3 +192,37 @@ def test_chunk_token_windows_sliced_input():
     assert set(out["doc_id"]) == {2, 3}
     assert out[out["doc_id"] == 2]["chunk_text"].tolist() == ["d e", "e"]
     assert out[out["doc_id"] == 3]["chunk_text"].tolist() == ["f"]
+
+
+def test_chunk_token_windows_large_string_and_nulls():
+    """Round-3 advice guards: large_string offsets are read as int64 (not
+    silently misparsed as int32), nulls chunk as empty text, and a
+    non-string column raises a clear TypeError."""
+    import pyarrow as pa
+    import pytest
+
+    from mdmpublic_ray.functions.text import chunk_token_windows
+
+    texts = ["a b c d e", None, "x y"]
+    t32 = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()), "text": pa.array(texts)}
+    )
+    t64 = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.large_string()),
+        }
+    )
+    a = chunk_token_windows(t32, size=2, stride=2).to_pandas()
+    b = chunk_token_windows(t64, size=2, stride=2).to_pandas()
+    assert a.equals(b)
+    # null text behaves as '' (one empty token)
+    null_rows = a[a["doc_id"] == 2]
+    assert null_rows["chunk_text"].tolist() == [""]
+    assert null_rows["n_tokens"].tolist() == [1]
+
+    bad = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array([42], pa.int64())}
+    )
+    with pytest.raises(TypeError, match="string"):
+        chunk_token_windows(bad)

@@ -78,14 +78,23 @@ def main() -> int:
         t0 = time.monotonic()
         try:
             res = QUERIES[name](sf_dir)
-            got = _canon(res if isinstance(res, pd.DataFrame) else res.to_pandas())
-            want = _canon(run_oracle(ORACLE_SQL[name]))
+            got_raw = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            want_raw = run_oracle(ORACLE_SQL[name])
+            # schema captured BEFORE canonicalization (round-3 advice):
+            # _canon sorts columns, which would mask a column-ORDER
+            # mismatch. The driver's hash compare is order-insensitive
+            # (sorts by name), so the GATE stays on the name set; exact
+            # order is recorded separately so a drift is visible.
+            cols_ok = sorted(got_raw.columns) == sorted(want_raw.columns)
+            order_ok = list(got_raw.columns) == list(want_raw.columns)
+            got = _canon(got_raw)
+            want = _canon(want_raw)
             rows_ok = len(got) == len(want)
-            cols_ok = list(got.columns) == list(want.columns)
             vals_ok = rows_ok and cols_ok and _values_match(got, want)
             results[name] = {
                 "rows_match": rows_ok,
                 "schema_match": cols_ok,
+                "col_order_match": order_ok,
                 "value_match": vals_ok,
                 "rows": int(len(got)),
                 "sec": round(time.monotonic() - t0, 2),
