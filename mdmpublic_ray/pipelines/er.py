@@ -77,8 +77,10 @@ class ERConfig:
     # filter map — the full-row exchange disappears entirely. Beyond the
     # threshold (winner table too big to ship to every task) the classic
     # bucketed shuffle runs. 5M urls ≈ 400 MB broadcast — one shared-
-    # memory copy per node.
-    dedup_winner_broadcast_rows: int = 5_000_000
+    # memory copy per node. None (default) derives the cap from the
+    # driver node's memory (5M at the 128-GiB calibration point —
+    # util.memory_scaled_cap, round-3 review item #8); 0 disables.
+    dedup_winner_broadcast_rows: int | None = None
     checkpoint_dir: str | None = None  # per-stage parquet + manifests
     run_id: str = "run0"
     # beyond-broadcast scoring: when the feature table exceeds the
@@ -221,8 +223,13 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
             if "text" in cols
             else src
         )
+        wbr = cfg.dedup_winner_broadcast_rows
+        if wbr is None:
+            from ..stages.util import memory_scaled_cap
+
+            wbr = memory_scaled_cap(5_000_000, lo=100_000)
         if cfg.extract_before_dedup:
-            if cfg.dedup_winner_broadcast_rows:
+            if wbr:
                 # winner-FIRST plan (cheapest, size-aware): the dedup
                 # winner set (url → max warc_ts) depends ONLY on input
                 # columns, so it comes from a column-pruned scan of the
@@ -238,7 +245,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
 
                 split = dedup_winner_split(
                     slim, "url", "warc_ts", n_buckets=cfg.n_buckets,
-                    winner_broadcast_rows=cfg.dedup_winner_broadcast_rows,
+                    winner_broadcast_rows=wbr,
                 )
                 if split is not None:
                     kept, tied = split

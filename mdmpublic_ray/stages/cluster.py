@@ -35,7 +35,25 @@ from .util import bucketed_join, default_partitions, grouped_agg
 # ZERO shuffle rounds, vs 3 shuffles × rounds for the distributed path.
 # Size-aware physical planning, same principle as broadcast-vs-shuffle
 # join selection — the distributed rounds remain the big-graph path.
+# 128-GiB calibration point; the effective default scales linearly with
+# the driver node's memory (util.memory_scaled_cap — a 4-GiB head node
+# routes to the distributed rounds at ~31k edges, not 1M).
 LOCAL_EDGE_THRESHOLD = 1_000_000
+INT_CC_MAX_NODES = 8_000_000
+INT_CC_MAX_EDGES = 100_000_000
+
+
+def _default_cc_caps() -> tuple[int, int, int]:
+    """(local_threshold, int_cc_max_nodes, int_cc_max_edges) scaled to
+    the driver node's memory; 128 GiB reproduces the historical
+    constants (round-3 review item #8)."""
+    from .util import memory_scaled_cap
+
+    return (
+        memory_scaled_cap(LOCAL_EDGE_THRESHOLD, lo=10_000),
+        memory_scaled_cap(INT_CC_MAX_NODES, lo=100_000),
+        memory_scaled_cap(INT_CC_MAX_EDGES, lo=1_000_000),
+    )
 
 
 def _pointer_jump(a, b, n: int):
@@ -202,9 +220,9 @@ def connected_components(
     num_partitions: int | None = None,
     max_rounds: int = 15,
     checkpoint_fn=None,
-    local_threshold: int = LOCAL_EDGE_THRESHOLD,
-    int_cc_max_nodes: int = 8_000_000,
-    int_cc_max_edges: int = 100_000_000,
+    local_threshold: int | None = None,
+    int_cc_max_nodes: int | None = None,
+    int_cc_max_edges: int | None = None,
 ):
     """edges(url_a, url_b) + nodes(url) → clusters(url, cluster_id).
 
@@ -223,6 +241,10 @@ def connected_components(
     Set both int caps to 0 to force the distributed rounds.
     """
     P = num_partitions or default_partitions()
+    _lt, _mn, _me = _default_cc_caps()
+    local_threshold = _lt if local_threshold is None else local_threshold
+    int_cc_max_nodes = _mn if int_cc_max_nodes is None else int_cc_max_nodes
+    int_cc_max_edges = _me if int_cc_max_edges is None else int_cc_max_edges
 
     # symmetric edge list: (src, dst) both directions — materialized once,
     # consumed every round.

@@ -142,6 +142,20 @@ def _is_local_fs(fs) -> bool:
         return False
 
 
+_PLAN_API_OK: bool | None = None
+
+
+def _plan_api_ok() -> bool:
+    """Memoized loud capability check for the private plan-inspection
+    API (see _compat.check_ray_plan_api — round-3 review item #9)."""
+    global _PLAN_API_OK
+    if _PLAN_API_OK is None:
+        from .._compat import check_ray_plan_api
+
+        _PLAN_API_OK = check_ray_plan_api()
+    return _PLAN_API_OK
+
+
 def _rg_read(paths, columns, n_tasks):
     """``read_datasource`` over :class:`RowGroupParquetDatasource` with
     one task per row group (capped). Raises if any path/column is
@@ -174,6 +188,8 @@ def pruned_scan(ds, cols: list[str]):
     ``select_columns`` (transformed rows are not re-derivable from the
     files). Internal-plan inspection is wrapped defensively: any
     surprise shape falls back."""
+    if not _plan_api_ok():
+        return ds.select_columns(cols)
     try:
         dag = ds._logical_plan.dag
         visible: set | None = None
@@ -238,7 +254,14 @@ def pruned_scan(ds, cols: list[str]):
             columns=list(cols),
             filesystem=dsrc._filesystem,
         )
-    except Exception:
+    except Exception as exc:
+        from .._compat import warn_once
+
+        warn_once(
+            "pruned-scan-fallback",
+            f"pruned_scan: plan inspection failed ({exc!r}); falling "
+            "back to select_columns (correct, but decodes every column)",
+        )
         return ds.select_columns(cols)
 
 
@@ -260,6 +283,8 @@ def widen_scan(ds, min_blocks: int):
     stacked on the read are preserved via ``columns=``. Any other plan
     shape (or inspection surprise) returns ``ds`` unchanged.
     """
+    if not _plan_api_ok():
+        return ds
     try:
         dag = ds._logical_plan.dag
         visible: set | None = None
@@ -337,7 +362,14 @@ def widen_scan(ds, min_blocks: int):
             filesystem=dsrc._filesystem,
             override_num_blocks=min_blocks,
         )
-    except Exception:
+    except Exception as exc:
+        from .._compat import warn_once
+
+        warn_once(
+            "widen-scan-fallback",
+            f"widen_scan: plan inspection failed ({exc!r}); read stays "
+            "at file width (correct, but serializes few-file inputs)",
+        )
         return ds
 
 
@@ -665,3 +697,64 @@ def cents(col, scale: int = 100):
     import pyarrow.compute as pc
 
     return pc.cast(pc.round(pc.multiply(col, float(scale))), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Driver-memory-derived caps (round-3 review item #8)
+# ---------------------------------------------------------------------------
+# The size-aware physical-plan thresholds (local/medium CC closure,
+# winner-broadcast dedup, broadcast scoring) bound DRIVER-side or
+# broadcast-side memory. Hard constants sized for this 128-GiB box would
+# mis-plan on a small head node; instead the caps scale linearly with
+# the driver node's memory, calibrated so 128 GiB reproduces the
+# historical constants exactly.
+
+_DRIVER_MEM_BYTES: int | None = None
+
+
+def driver_memory_bytes() -> int:
+    """Memory budget of the DRIVER's node, in bytes.
+
+    Resolution order: ``MDMPUBLIC_DRIVER_MEM_BYTES`` env override (ops /
+    test hook) → the Ray ``memory`` resource of the node this driver is
+    on (NOT the cluster sum — a 256-node cluster's workers don't grow
+    the driver's heap) → psutil total → 128 GiB. Memoized per process."""
+    global _DRIVER_MEM_BYTES
+    import os
+
+    ov = os.environ.get("MDMPUBLIC_DRIVER_MEM_BYTES")
+    if ov:
+        return int(ov)
+    if _DRIVER_MEM_BYTES is not None:
+        return _DRIVER_MEM_BYTES
+    mem = None
+    try:
+        import ray
+
+        if ray.is_initialized():
+            nid = ray.get_runtime_context().get_node_id()
+            for n in ray.nodes():
+                r = n.get("Resources", {})
+                if n.get("NodeID") == nid and r.get("memory"):
+                    mem = int(r["memory"])
+                    break
+    except Exception:
+        pass
+    if mem is None:
+        try:
+            import psutil
+
+            mem = int(psutil.virtual_memory().total)
+        except Exception:
+            mem = 128 << 30
+    _DRIVER_MEM_BYTES = mem
+    return mem
+
+
+def memory_scaled_cap(base_at_128g: int, *, lo: int, hi: int | None = None) -> int:
+    """Linear scale of a 128-GiB-calibrated cap to the actual driver
+    memory, clamped to [lo, hi]."""
+    scaled = int(base_at_128g * (driver_memory_bytes() / float(128 << 30)))
+    if hi is not None:
+        scaled = min(scaled, hi)
+    return max(lo, scaled)

@@ -164,3 +164,57 @@ def test_local_and_distributed_cc_agree(ray_session, small_er):
     )
     pd.testing.assert_frame_equal(local, medium)
     pd.testing.assert_frame_equal(local, dist)
+
+
+def test_cc_caps_derive_from_driver_memory(monkeypatch):
+    """Round-3 review item #8: the CC plan caps scale with the driver
+    node's memory instead of being hard 128-GiB constants."""
+    from mdmpublic_ray.stages.cluster import _default_cc_caps
+
+    monkeypatch.setenv("MDMPUBLIC_DRIVER_MEM_BYTES", str(128 << 30))
+    assert _default_cc_caps() == (1_000_000, 8_000_000, 100_000_000)
+    monkeypatch.setenv("MDMPUBLIC_DRIVER_MEM_BYTES", str(4 << 30))
+    lt, mn, me = _default_cc_caps()
+    assert (lt, mn, me) == (31_250, 250_000, 3_125_000)
+    # floors hold on an absurdly small driver
+    monkeypatch.setenv("MDMPUBLIC_DRIVER_MEM_BYTES", str(1 << 20))
+    assert _default_cc_caps() == (10_000, 100_000, 1_000_000)
+
+
+def test_cc_4gib_driver_routes_to_distributed_plan(ray_session, monkeypatch):
+    """On a simulated 4-GiB driver, a graph that a 128-GiB driver would
+    close locally (far under 1M edges) must route to the DISTRIBUTED
+    min-label rounds: its 270k distinct endpoints exceed the scaled
+    medium-plan cap (250k) and its 135k edges exceed the scaled local
+    cap (31k). The driver-closure paths are stubbed to fail loudly, and
+    the distributed result is verified exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import mdmpublic_ray.stages.cluster as cluster
+
+    monkeypatch.setenv("MDMPUBLIC_DRIVER_MEM_BYTES", str(4 << 30))
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side CC plan chosen on a 4-GiB driver")
+
+    monkeypatch.setattr(cluster, "_local_components", _boom)
+    monkeypatch.setattr(cluster, "_int_edge_components", _boom)
+
+    n_pairs = 135_000  # 270k endpoints > 250k cap; 135k edges > 31k cap
+    urls = [f"u{i:07d}" for i in range(2 * n_pairs)]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "url_a": pa.array(urls[0::2]),
+                "url_b": pa.array(urls[1::2]),
+            }
+        )
+    )
+    nodes = rd.from_arrow(pa.table({"url": pa.array(urls)}))
+    out = cluster.connected_components(edges, nodes, num_partitions=8).to_pandas()
+    assert len(out) == 2 * n_pairs
+    got = out.set_index("url")["cluster_id"]
+    # each disjoint pair clusters to its lexicographic-min member
+    for i in (0, 1, 2 * n_pairs - 2, 2 * n_pairs - 1):
+        assert got[urls[i]] == urls[i - (i % 2)]

@@ -136,3 +136,50 @@ def test_er_pipeline_over_widened_read_matches_plain(ray_session, multi_rg_file)
         g1[cols].sort_values(cols, kind="mergesort").reset_index(drop=True),
         g2[cols].sort_values(cols, kind="mergesort").reset_index(drop=True),
     )
+
+
+def test_plan_api_capability_gate(ray_session, multi_rg_file, monkeypatch):
+    """Round-3 review item #9: on a Ray whose private plan-inspection
+    API is unavailable, pruned_scan/widen_scan degrade to the stock
+    reader LOUDLY (one warning) and stay correct."""
+    import ray.data as rd
+
+    import mdmpublic_ray._compat as compat
+    import mdmpublic_ray.stages.util as util
+
+    # capability present on the pinned Ray
+    assert compat.check_ray_plan_api() is True
+
+    ds = rd.read_parquet(multi_rg_file)
+    want = ds.select_columns(["url"]).to_pandas()
+
+    # simulate an incompatible Ray: the gate must route to select_columns
+    monkeypatch.setattr(util, "_PLAN_API_OK", False)
+    got = util.pruned_scan(rd.read_parquet(multi_rg_file), ["url"]).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("url").reset_index(drop=True),
+        want.sort_values("url").reset_index(drop=True),
+    )
+    widened = util.widen_scan(rd.read_parquet(multi_rg_file), 8)
+    assert widened.count() == ds.count()
+
+    # warn_once really is once per topic
+    compat._capability_warned.discard("t")
+    import logging
+
+    records = []
+
+    class H(logging.Handler):
+        def emit(self, r):
+            records.append(r)
+
+    log = logging.getLogger("mdmpublic_ray.compat")
+    h = H()
+    log.addHandler(h)
+    try:
+        compat.warn_once("t", "msg")
+        compat.warn_once("t", "msg")
+    finally:
+        log.removeHandler(h)
+        compat._capability_warned.discard("t")
+    assert len(records) == 1
