@@ -105,6 +105,14 @@ class ERConfig:
     # the incremental path refuses emb configs (see er_incremental).
     emb_dim: int = 0
     emb_weight: float = 0.0
+    # learned embedding model (ST5): path to an embmodel.EmbeddingModel
+    # npz applied on top of the hashed counts (loaded once per features
+    # actor). None keeps the plain hashed projection. emb_model_gpus is
+    # the per-actor GPU request — clamped to 0 with a loud warning on a
+    # GPU-less cluster (embmodel.resolve_num_gpus), where the model runs
+    # its CPU backend; results are device-invariant.
+    emb_model_path: str | None = None
+    emb_model_gpus: float = 0.0
 
 
 def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
@@ -368,17 +376,25 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
         hot_thread = threading.Thread(target=_hot_bg, daemon=True)
         hot_thread.start()
 
+    _model_digest = None
+    if cfg.emb_model_path:
+        from ..stages.embmodel import model_file_digest
+
+        _model_digest = model_file_digest(cfg.emb_model_path)
     features = stage(
         "features",
         lambda: features_stage(
             deduped, concurrency=cfg.features_concurrency, seed=cfg.seed,
-            emb_dim=cfg.emb_dim,
+            emb_dim=cfg.emb_dim, emb_model_path=cfg.emb_model_path,
+            num_gpus=cfg.emb_model_gpus,
         ),
         parents=("deduped",),
-        # emb_dim in the digest only when enabled; hashv invalidates
-        # states built under a different similarity-hash space
+        # emb_dim / model digest in the digest only when enabled; hashv
+        # invalidates states built under a different similarity-hash
+        # space; a changed model FILE invalidates via its content digest
         params={"seed": cfg.seed, "hashv": FEATURES_HASHV,
-                **({"emb_dim": cfg.emb_dim} if cfg.emb_dim else {})},
+                **({"emb_dim": cfg.emb_dim} if cfg.emb_dim else {}),
+                **({"emb_model": _model_digest} if _model_digest else {})},
     )
     hot_hosts: dict = {}
     hot_hosts_ds = None

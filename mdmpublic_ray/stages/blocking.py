@@ -132,7 +132,8 @@ def _binary_from_flat(flat_bytes: bytes, item_bytes: np.ndarray) -> pa.Array:
 
 
 def compute_features_batch(
-    batch: pa.Table, *, seed: int = 42, num_perm: int = NUM_PERM, emb_dim: int = 0
+    batch: pa.Table, *, seed: int = 42, num_perm: int = NUM_PERM, emb_dim: int = 0,
+    emb_model=None,
 ) -> pa.Table:
     """Fully vectorized: Arrow tokenization (lower + regex split), numpy
     polynomial token/shingle hashing (``hashing.hash_utf8_flat`` /
@@ -171,9 +172,19 @@ def compute_features_batch(
     }
     if emb_dim:
         emb = hashed_embeddings_flat(th, toff, emb_dim)
+        if emb_model is not None:
+            # learned model (ST5): hashed counts → model embedding. The
+            # model was loaded ONCE per actor/worker, never per batch.
+            if emb_model.in_dim != emb_dim:
+                raise ValueError(
+                    f"emb model expects in_dim={emb_model.in_dim}, "
+                    f"features emb_dim={emb_dim}"
+                )
+            emb = emb_model(emb)
+        width = emb.shape[1]
         cols["emb"] = _binary_from_flat(
-            np.ascontiguousarray(emb).tobytes(),
-            np.full(n, emb_dim * 4, dtype=np.int64),
+            np.ascontiguousarray(emb, dtype=np.float32).tobytes(),
+            np.full(n, width * 4, dtype=np.int64),
         )
     return pa.table(cols)
 
@@ -193,32 +204,61 @@ class ComputeFeatures:
     reduceat batch kernel.
     """
 
-    def __init__(self, num_perm: int = NUM_PERM, seed: int = 42, emb_dim: int = 0) -> None:
+    def __init__(self, num_perm: int = NUM_PERM, seed: int = 42, emb_dim: int = 0,
+                 emb_model_path: str | None = None, emb_device: str = "auto") -> None:
         self.a, self.b = H.minhash_permutations(num_perm, seed=seed)
         self._seed = seed
         self._num_perm = num_perm
         self._emb_dim = emb_dim
+        # ST5 literal: model weights load ONCE per actor, in __init__
+        self._model = None
+        if emb_model_path:
+            from .embmodel import EmbeddingModel
+
+            self._model = EmbeddingModel.load(emb_model_path, device=emb_device)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return compute_features_batch(
-            batch, seed=self._seed, num_perm=self._num_perm, emb_dim=self._emb_dim
+            batch, seed=self._seed, num_perm=self._num_perm, emb_dim=self._emb_dim,
+            emb_model=self._model,
         )
 
 
 def features_stage(ds, *, concurrency=None, batch_size: int = 512, seed: int = 42,
-                   emb_dim: int = 0):
+                   emb_dim: int = 0, emb_model_path: str | None = None,
+                   emb_device: str = "auto", num_gpus: float = 0.0):
     """Stateless task pool by default (see ``compute_features_batch``);
     pass ``concurrency`` to force an actor pool. ``emb_dim > 0`` adds the
     hashed-text-embedding column consumed by the optional
-    cosine-over-embedding scoring signal (scoring.py ``emb_weight``)."""
+    cosine-over-embedding scoring signal (scoring.py ``emb_weight``);
+    ``emb_model_path`` applies a learned :class:`embmodel.EmbeddingModel`
+    on top (loaded once per actor — ST5), forcing an actor pool.
+    ``num_gpus`` is a per-actor GPU request, clamped to 0 with a loud
+    warning on a GPU-less cluster (resolve_num_gpus) so the stage never
+    hangs unschedulable; the model then runs its CPU backend."""
+    if emb_model_path and concurrency is None:
+        # model state belongs in actor __init__, not re-fetched per task
+        from .util import default_actor_pool
+
+        concurrency = default_actor_pool()
     if concurrency is not None:
+        kw = {}
+        if num_gpus:
+            from .embmodel import resolve_num_gpus
+
+            g = resolve_num_gpus(num_gpus)
+            if g:
+                kw["num_gpus"] = g
         return ds.map_batches(
             ComputeFeatures,
-            fn_constructor_kwargs={"seed": seed, "emb_dim": emb_dim},
+            fn_constructor_kwargs={"seed": seed, "emb_dim": emb_dim,
+                                   "emb_model_path": emb_model_path,
+                                   "emb_device": emb_device},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
             num_cpus=1,
+            **kw,
         )
     import functools
 

@@ -181,3 +181,91 @@ def test_emb_matrix_from_binary_zero_copy_paths():
     ragged = pa.array([b"\x00" * 4, b"\x00" * 8], pa.binary())
     with pytest.raises(TypeError, match="equal-width"):
         _emb_matrix_from_binary(ragged)
+
+
+# ---------------------------------------------------------------------------
+# Learned embedding model (stages/embmodel.py — ST5 model-holding state)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_model_fixture_loads_and_separates():
+    """The checked-in trained model: deterministic load, unit-norm
+    output, near-dup inputs at cosine ≈ 1, unrelated inputs well apart."""
+    from mdmpublic_ray.stages.blocking import hashed_embeddings_batch
+    from mdmpublic_ray.stages.embmodel import EmbeddingModel, default_model_path
+
+    m = EmbeddingModel.load(default_model_path())
+    assert (m.in_dim, m.out_dim) == (64, 32)
+    base = [f"tok{i}" for i in range(40)]
+    docs = [
+        base,
+        base[:-2],                      # near-dup: two tokens dropped
+        [f"other{i}" for i in range(40)],  # unrelated vocab
+    ]
+    X = hashed_embeddings_batch(docs, 64)
+    E = m(X)
+    assert E.shape == (3, 32) and E.dtype == np.float32
+    assert np.allclose(np.linalg.norm(E, axis=1), 1.0, atol=1e-5)
+    cos = E @ E.T
+    assert cos[0, 1] > 0.9          # near-dup stays near
+    assert cos[0, 2] < cos[0, 1] - 0.1  # unrelated clearly lower
+    # deterministic across loads
+    E2 = EmbeddingModel.load(default_model_path())(X)
+    assert np.array_equal(E, E2)
+
+
+def test_embedding_model_gpu_device_falls_back_to_cpu():
+    """device='gpu' on a box with no GPU backend must fall back to CPU
+    numpy with identical outputs — never raise, never hang."""
+    from mdmpublic_ray.stages.blocking import hashed_embeddings_batch
+    from mdmpublic_ray.stages.embmodel import (
+        EmbeddingModel,
+        default_model_path,
+        resolve_num_gpus,
+    )
+
+    X = hashed_embeddings_batch([["a", "b", "c"], ["d", "e"]], 64)
+    cpu = EmbeddingModel.load(default_model_path(), device="cpu")
+    gpu = EmbeddingModel.load(default_model_path(), device="gpu")
+    assert gpu.device == "cpu"  # no cupy in this environment
+    assert np.array_equal(cpu(X), gpu(X))
+    # a num_gpus request on a GPU-less cluster clamps to 0 (stage stays
+    # schedulable) instead of hanging unschedulable
+    assert resolve_num_gpus(1.0) == 0.0
+    assert resolve_num_gpus(0.0) == 0.0
+
+
+def test_er_model_scoring_gpu_request_falls_back(ray_session, corpus_dir):
+    """Round-3 review item #2's done-condition: the flagship runs with a
+    LEARNED model loaded in the features actors (ERConfig.emb_model_path),
+    a num_gpus request on this GPU-less cluster falls back to CPU, and
+    the result is device-invariant and still F1 = 1.0."""
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er import ERConfig, pairwise_metrics, run_er
+    from mdmpublic_ray.stages.embmodel import default_model_path
+
+    common = dict(
+        num_partitions=8, n_buckets=16, emb_dim=64, emb_weight=0.25,
+        threshold=0.5, emb_model_path=default_model_path(),
+    )
+    out_cpu = run_er(
+        rd.read_parquet(f"{corpus_dir}/pages.parquet"), ERConfig(**common)
+    )
+    out_gpu_req = run_er(
+        rd.read_parquet(f"{corpus_dir}/pages.parquet"),
+        ERConfig(**common, emb_model_gpus=1.0),
+    )
+    m = pairwise_metrics(
+        out_cpu["clusters"], rd.read_parquet(f"{corpus_dir}/labels.parquet")
+    )
+    assert m["f1"] == 1.0
+
+    def canon(ds):
+        df = ds.to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        canon(out_cpu["golden"]), canon(out_gpu_req["golden"])
+    )
