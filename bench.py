@@ -246,7 +246,7 @@ def _run_bench() -> dict:
         "hourly_type_windows",
         "docs_exact_dedup",
         "docs_quality",
-        "docs_minhash_clusters",
+        "docs_minhash_clusters_full",
         "embeddings_neardup",
         "knn_cosine",
         # round-2 training-data operators
@@ -254,7 +254,7 @@ def _run_bench() -> dict:
         "web_boilerplate",
         "docs_top_tokens",
         "docs_len_quantiles",
-        "knn_cosine_ivf",
+        "knn_cosine_ivf_full",
         # third-session operators
         "nation_revenue",
         "docs_cdc_dedup",

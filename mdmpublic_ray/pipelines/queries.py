@@ -1667,22 +1667,106 @@ FROM reach GROUP BY id
 """
 
 
+_KNN_PLANT_OFFSET = 1_000_000
+
+
+def _knn_planted_extra(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
+    """Planted corpus rows that make approximate-kNN recall PROVABLY 1.0
+    (the ``er_clusters_oracle`` trick for the ANN family): k byte-exact
+    copies of every query vector, ids ``offset + qid*k + j``. A copy is
+    bitwise identical to its query, so it provably lands in the query's
+    LSH bucket (identical hyperplane signs) and IVF list (identical
+    argmax centroid — the query's own list, always probed). Since cosine
+    ≤ 1 and the k copies sit at exactly 1, the true top-k consists only
+    of cosine-1 vectors — all provably probed — so the approximate scan
+    equals the exact scan and DuckDB can state the result with the same
+    exact-top-k SQL as ``knn_cosine`` over the planted corpus."""
+    import pyarrow.compute as pc
+
+    from ..sources.tables import read_table_arrow
+
+    q = read_table_arrow(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        pc.less(pc.field("vec_id"), n_queries)
+    )
+    n = len(q)
+    idx = np.repeat(np.arange(n), k)
+    emb = q["embedding"].combine_chunks().take(pa.array(idx))
+    qids = q["vec_id"].to_numpy()
+    new_ids = (
+        _KNN_PLANT_OFFSET
+        + np.repeat(qids, k) * k
+        + np.tile(np.arange(k), n)
+    )
+    return pa.table(
+        {"vec_id": pa.array(new_ids, pa.int64()), "embedding": emb}
+    )
+
+
 def q_knn_cosine_lsh(sf_dir: str):
-    """LSH-bucketed approximate top-k (scale path for `knn_cosine`;
-    rows-only — approximate results have no SQL oracle; recall vs the
-    brute-force baseline is asserted in tests/test_ann.py)."""
+    """LSH-bucketed approximate top-k, DRIVER-CERTIFIABLE: the corpus is
+    embeddings + k planted copies of each query vector (see
+    ``_knn_planted_extra`` for the proof that recall is exactly 1.0 by
+    construction, independent of the hyperplane seed). The full LSH
+    machinery runs — bucket assign, Hamming-1 multiprobe pruning,
+    partial top-k, grouped merge — and the oracle is plain exact-top-k
+    SQL. The unrestricted-corpus variant is ``knn_cosine_lsh_full``
+    (rows-only; recall floor asserted in tests/test_ann.py)."""
+    from ..stages.ann import knn_cosine_lsh
+
+    return knn_cosine_lsh(
+        sf_dir, n_queries=5, k=10, extra=_knn_planted_extra(sf_dir, 5, 10)
+    ).select_columns(["query_vec_id", "neighbor_vec_id"])
+
+
+def q_knn_cosine_ivf(sf_dir: str):
+    """IVF approximate top-k, DRIVER-CERTIFIABLE via the same planted
+    construction as ``knn_cosine_lsh`` (copies share the query's own
+    inverted list, which top-nprobe probing always includes).
+    Unrestricted variant: ``knn_cosine_ivf_full`` (rows-only)."""
+    from ..stages.ann import knn_cosine_ivf
+
+    return knn_cosine_ivf(
+        sf_dir, n_queries=5, k=10, extra=_knn_planted_extra(sf_dir, 5, 10)
+    ).select_columns(["query_vec_id", "neighbor_vec_id"])
+
+
+def q_knn_cosine_lsh_full(sf_dir: str):
+    """LSH-bucketed approximate top-k over the UNRESTRICTED corpus
+    (rows-only — approximate; recall vs the brute-force baseline is
+    asserted in tests/test_ann.py)."""
     from ..stages.ann import knn_cosine_lsh
 
     return knn_cosine_lsh(sf_dir, n_queries=5, k=10)
 
 
-def q_knn_cosine_ivf(sf_dir: str):
-    """IVF approximate top-k (inverted lists from a spherical-k-means
-    coarse quantizer, nprobe-pruned scan; rows-only — recall vs the
-    brute-force baseline is asserted in tests/test_ann.py)."""
+def q_knn_cosine_ivf_full(sf_dir: str):
+    """IVF approximate top-k over the UNRESTRICTED corpus (rows-only —
+    recall vs brute force asserted in tests/test_ann.py)."""
     from ..stages.ann import knn_cosine_ivf
 
     return knn_cosine_ivf(sf_dir, n_queries=5, k=10)
+
+
+SQL_KNN_PLANTED = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5),
+planted AS (SELECT 1000000 + q.vec_id * 10 + r.j AS vec_id, q.qe AS e
+            FROM q CROSS JOIN (SELECT unnest(range(10)) AS j) r),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           UNION ALL SELECT vec_id, e FROM planted),
+sims AS (SELECT q.vec_id AS query_vec_id, c.vec_id AS neighbor_vec_id,
+                list_cosine_similarity(q.qe, c.e) AS sim
+         FROM q CROSS JOIN corpus c WHERE c.vec_id != q.vec_id),
+ranked AS (SELECT query_vec_id, neighbor_vec_id,
+                  row_number() OVER (PARTITION BY query_vec_id
+                                     ORDER BY sim DESC, neighbor_vec_id) AS rank
+           FROM sims)
+SELECT query_vec_id, neighbor_vec_id FROM ranked WHERE rank <= 10
+"""
+# rank is dropped from the planted-kNN compare: the ten planted copies
+# tie at cosine 1.0 and their relative order is float-ULP-sensitive
+# (summation order varies with batch position); the top-k SET is the
+# provable, stable object.
 
 
 def q_embedding_dims(sf_dir: str):
@@ -1838,18 +1922,150 @@ def q_docs_simhash(sf_dir: str):
     return ds.map_batches(sh, batch_format="pandas")
 
 
+_PLANT_DOC_OFFSET = 100_000
+
+
+_SIMHASH_EXCL_CACHE: dict[str, frozenset] = {}
+
+
+def _simhash_oracle_excluded(sf_dir: str) -> frozenset:
+    """Doc ids with any cross-doc DISTINCT-UNIGRAM Jaccard partner at
+    ≥ 0.6 — the SQL-expressible restriction for the SimHash oracle.
+    SimHash proximity is a unigram-weight phenomenon (it ignores token
+    order), so the 3-gram restriction the MinHash oracle uses does not
+    bound it; measured at sf0.01, every pair within Hamming ≤ 8 has
+    unigram Jaccard ≥ 0.308 and every pair ≤ 6 has ≥ 0.607 — after this
+    exclusion the minimum surviving cross-doc Hamming is 11, nearly 4×
+    the ≤ 3 cluster bound (deterministic data + hash ⇒ stable)."""
+    if sf_dir not in _SIMHASH_EXCL_CACHE:
+        from ..stages.simjoin import jaccard_set_join
+
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        pairs = jaccard_set_join(
+            docs, id_col="doc_id", text_col="text", threshold=0.6, shingle_k=1
+        ).to_pandas()
+        _SIMHASH_EXCL_CACHE[sf_dir] = frozenset(
+            set(pairs["doc_id_a"]) | set(pairs["doc_id_b"])
+        )
+    return _SIMHASH_EXCL_CACHE[sf_dir]
+
+
+def _restricted_planted_docs(sf_dir: str, excluded=None):
+    """Dataset for the DRIVER-CERTIFIABLE near-dup-cluster oracles
+    (the ``er_clusters_oracle`` trick applied to D5): documents
+    restricted to docs with NO cross-doc 3-token-gram Jaccard partner at
+    ≥ 0.05 (the same SQL-expressible PPJoin restriction the ER oracles
+    use — far below the 0.6 verify threshold, so no restricted cross-doc
+    pair can verify), plus ONE byte-exact duplicate of every kept doc at
+    ``doc_id + 100000``. An exact duplicate has an identical MinHash
+    signature (all bands collide) and identical SimHash (Hamming 0), so
+    each {doc, copy} pair provably clusters; the expected output is two
+    rows per kept doc with ``rep_id = doc_id``, stated directly in SQL."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..sources.tables import read_table_arrow
+
+    excl = _er_oracle_excluded(sf_dir) if excluded is None else excluded
+    tbl = read_table_arrow(sf_dir, "documents", ["doc_id", "text"])
+    if excl:
+        keep = tbl.filter(
+            pc.invert(
+                pc.is_in(
+                    tbl["doc_id"],
+                    value_set=pa.array(sorted(excl), pa.int64()),
+                )
+            )
+        )
+    else:
+        keep = tbl
+    dup = pa.table(
+        {
+            "doc_id": pc.add(keep["doc_id"], _PLANT_DOC_OFFSET),
+            "text": keep["text"],
+        }
+    )
+    return rd.from_arrow(pa.concat_tables([keep, dup]))
+
+
+SQL_NEARDUP_CLUSTERS_PLANTED = """
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents),
+sh AS (SELECT doc_id,
+        CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+             WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+       FROM tk),
+bad AS (SELECT DISTINCT doc_id FROM (
+    SELECT a.doc_id FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.05)),
+clean AS (SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+SELECT doc_id, doc_id AS rep_id FROM clean
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, doc_id AS rep_id FROM clean
+"""
+
+
+SQL_SIMHASH_CLUSTERS_PLANTED = """
+WITH tk AS (SELECT doc_id,
+                   list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+            FROM documents),
+bad AS (SELECT DISTINCT doc_id FROM (
+    SELECT a.doc_id FROM tk a JOIN tk b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+          / NULLIF(len(list_distinct(list_concat(a.t, b.t))), 0) >= 0.6)),
+clean AS (SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+SELECT doc_id, doc_id AS rep_id FROM clean
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, doc_id AS rep_id FROM clean
+"""
+
+
 def q_docs_simhash_clusters(sf_dir: str):
-    """SimHash near-dup clustering → (doc_id, rep_id): 4×16-bit band
-    buckets (exact recall at Hamming ≤ 3) → popcount verify → connected
-    components (rows-only; transitive closure is not SQL-expressible)."""
+    """SimHash near-dup clustering → (doc_id, rep_id), DRIVER-CERTIFIABLE
+    over the restricted+planted corpus (``_restricted_planted_docs``):
+    4×16-bit band buckets (exact recall at Hamming ≤ 3 by pigeonhole) →
+    popcount verify → connected components. Planted exact duplicates sit
+    at Hamming 0 (provably clustered); the restriction is UNIGRAM
+    Jaccard < 0.6 (``_simhash_oracle_excluded`` — simhash ignores token
+    order, so the MinHash oracle's 3-gram restriction cannot bound it);
+    surviving cross-doc pairs sit at Hamming ≥ 11 (measured,
+    deterministic). Unrestricted variant: ``docs_simhash_clusters_full``."""
+    from ..stages.simhash_dedup import simhash_clusters_ds
+
+    return simhash_clusters_ds(
+        _restricted_planted_docs(sf_dir, _simhash_oracle_excluded(sf_dir))
+    )
+
+
+def q_docs_minhash_clusters(sf_dir: str):
+    """MinHash-LSH near-dup clustering → (doc_id, rep_id) (D5 core),
+    DRIVER-CERTIFIABLE over the restricted+planted corpus: exact
+    duplicates share every band (candidate) and verify at sketch
+    Jaccard 1.0; restricted cross-doc pairs (true Jaccard < 0.05) sit
+    ~0.55 below the 0.6 verify threshold — an order of magnitude beyond
+    the k=160 bottom-k estimator's noise. Unrestricted variant:
+    ``docs_minhash_clusters_full``."""
+    from ..stages.minhash_dedup import near_dup_clusters
+
+    return near_dup_clusters(sf_dir, docs_ds=_restricted_planted_docs(sf_dir))
+
+
+def q_docs_simhash_clusters_full(sf_dir: str):
+    """SimHash clustering over the UNRESTRICTED documents table
+    (rows-only; planted-truth semantics in tests/test_simhash_dedup.py)."""
     from ..stages.simhash_dedup import simhash_clusters
 
     return simhash_clusters(sf_dir)
 
 
-def q_docs_minhash_clusters(sf_dir: str):
-    """MinHash-LSH near-dup clustering of documents → (doc_id, rep_id)
-    (D5 core; rows-only — transitive closure is not SQL-expressible)."""
+def q_docs_minhash_clusters_full(sf_dir: str):
+    """MinHash-LSH clustering over the UNRESTRICTED documents table
+    (rows-only; planted-truth semantics in tests/test_minhash_dedup_paths.py)."""
     from ..stages.minhash_dedup import near_dup_clusters
 
     return near_dup_clusters(sf_dir)
@@ -4562,6 +4778,10 @@ QUERIES = {
     # --- NEW in round 4 (driver window = first ~50 entries) ---
     "er_clusters_emb_oracle": q_er_clusters_emb_oracle,
     "er_golden_emb_oracle": q_er_golden_emb_oracle,
+    "knn_cosine_lsh": q_knn_cosine_lsh,
+    "knn_cosine_ivf": q_knn_cosine_ivf,
+    "docs_simhash_clusters": q_docs_simhash_clusters,
+    "docs_minhash_clusters": q_docs_minhash_clusters,
     # --- oracle-backed, driver-certified in earlier rounds ---
     "er_clusters_oracle": q_er_clusters_oracle,
     "er_golden_oracle": q_er_golden_oracle,
@@ -4607,11 +4827,11 @@ QUERIES = {
     # --- rows-only pipelines, not yet driver-listed ---
     "docs_top_tokens_mg": q_docs_top_tokens_mg,
     "docs_len_quantiles_mrl": q_docs_len_quantiles_mrl,
-    "knn_cosine_lsh": q_knn_cosine_lsh,
-    "knn_cosine_ivf": q_knn_cosine_ivf,
     "docs_simhash": q_docs_simhash,
-    "docs_simhash_clusters": q_docs_simhash_clusters,
-    "docs_minhash_clusters": q_docs_minhash_clusters,
+    "knn_cosine_lsh_full": q_knn_cosine_lsh_full,
+    "knn_cosine_ivf_full": q_knn_cosine_ivf_full,
+    "docs_simhash_clusters_full": q_docs_simhash_clusters_full,
+    "docs_minhash_clusters_full": q_docs_minhash_clusters_full,
     "er_clusters": q_er_clusters,
     "er_golden": q_er_golden,
     "er_blocking_metrics": q_er_blocking_metrics,
@@ -4767,6 +4987,10 @@ ORACLE_SQL = {
     "doc_triangles": SQL_DOC_TRIANGLES,
     "er_clusters_emb_oracle": SQL_ER_CLUSTERS_ORACLE,
     "er_golden_emb_oracle": SQL_ER_GOLDEN_ORACLE,
+    "knn_cosine_lsh": SQL_KNN_PLANTED,
+    "knn_cosine_ivf": SQL_KNN_PLANTED,
+    "docs_simhash_clusters": SQL_SIMHASH_CLUSTERS_PLANTED,
+    "docs_minhash_clusters": SQL_NEARDUP_CLUSTERS_PLANTED,
     "er_clusters_oracle": SQL_ER_CLUSTERS_ORACLE,
     "er_golden_oracle": SQL_ER_GOLDEN_ORACLE,
     "docs_dup_ngrams": _sql_docs_dup_ngrams(),

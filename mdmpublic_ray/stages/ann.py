@@ -370,6 +370,7 @@ def knn_cosine_lsh(
     k: int = 10,
     n_bits: int = 4,
     seed: int = 42,
+    extra: pa.Table | None = None,
 ):
     """Approximate top-k: random-hyperplane LSH buckets + Hamming-1
     multiprobe. The corpus scan is pruned to the union of all queries'
@@ -397,6 +398,15 @@ def knn_cosine_lsh(
     planes_ref = ray.put(planes)
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if extra is not None:
+        # planted corpus rows (restricted-oracle harness): byte-identical
+        # copies of query vectors provably share the query's bucket —
+        # identical input ⇒ identical hyperplane signs — so the exact
+        # top-k is reachable by construction and the driver's SQL oracle
+        # can state it (queries.py q_knn_cosine_lsh)
+        import ray.data as rd
+
+        ds = ds.union(rd.from_arrow(extra))
     bucketed = ds.map_batches(
         _LSHAssign,
         fn_constructor_kwargs={"planes_ref": planes_ref},
@@ -509,6 +519,7 @@ def knn_cosine_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     n_iters: int = 5,
+    extra: pa.Table | None = None,
 ):
     """IVF approximate top-k: spherical-k-means coarse quantizer →
     inverted lists keyed by nearest centroid → each query scans only its
@@ -520,6 +531,14 @@ def knn_cosine_ivf(
     import ray
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if extra is not None:
+        # planted corpus rows (restricted-oracle harness): a copy of a
+        # query vector gets the query's own argmax centroid, which is
+        # always in the query's probe list (top-nprobe includes top-1) —
+        # exact recall by construction, SQL-statable result
+        import ray.data as rd
+
+        ds = ds.union(rd.from_arrow(extra))
     cents = _kmeans_centroids(ds, n_centroids, n_iters)
 
     q = read_table_arrow(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(

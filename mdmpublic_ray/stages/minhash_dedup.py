@@ -141,12 +141,18 @@ def near_dup_clusters(
     threshold: float = 0.6,
     num_partitions=None,
     broadcast_threshold: int = BROADCAST_SKETCH_THRESHOLD,
+    docs_ds=None,
 ):
-    """documents → (doc_id, rep_id): rep_id = min doc_id of the component."""
+    """documents → (doc_id, rep_id): rep_id = min doc_id of the component.
+    ``docs_ds`` overrides the table read (restricted-oracle harness)."""
     from .util import default_partitions
 
     P = num_partitions or default_partitions()
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = (
+        docs_ds
+        if docs_ds is not None
+        else read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
     feats = docs.map_batches(
         _DocFeatures(), batch_format="pyarrow", batch_size=1024
     ).materialize()

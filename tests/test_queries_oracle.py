@@ -74,11 +74,11 @@ def test_query_matches_oracle(name, ray_session):
     "name",
     [
         "docs_simhash",
-        "docs_simhash_clusters",
-        "docs_minhash_clusters",
+        "docs_simhash_clusters_full",
+        "docs_minhash_clusters_full",
         "pages_media_features",
-        "knn_cosine_lsh",
-        "knn_cosine_ivf",
+        "knn_cosine_lsh_full",
+        "knn_cosine_ivf_full",
         "er_incremental",
         "docs_distinct_tokens_hll",
         "docs_top_tokens_mg",
