@@ -79,7 +79,7 @@ from ..stages.util import pruned_scan
 from ..stages.pairs import dedup_pairs
 from ..stages.scoring import score_pairs
 from ..state.checkpoint import CheckpointRunner
-from .er import ERConfig
+from .er import ERConfig, run_er
 
 # The incremental path collects delta-bounded sets on the driver; beyond
 # this the full pipeline is the right tool (and the error says so).
@@ -954,3 +954,132 @@ def golden_diff(prev_golden, cur_golden, *, n_buckets: int = 64):
     return bucketed_map_groups(both, "cluster_id", diff)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Run-over-run plan selection (round-3 review item #3)
+# ---------------------------------------------------------------------------
+# The delta path's work is delta-proportional but carries a fixed stage
+# overhead (~a dozen small Ray stages, broadcast builds, driver collects
+# — measured ≈3–4 s regardless of size). At bench scale (7k pages /
+# ~1.8 s full rerun) that FIXED cost exceeds the whole full pipeline, so
+# the delta path LOSES below a corpus-size/delta-fraction crossover
+# (r3 bench: 3.17 s delta vs 1.75 s full at 10% delta), while at 1M
+# pages it wins 8.9×. Nothing selected the plan before; this does.
+
+INCREMENTAL_FIXED_OVERHEAD_SEC = 3.5
+DELTA_COST_FACTOR = 2.0  # delta-path per-row cost vs full-pipeline per-row
+DELTA_FRACTION_CUTOFF = 0.25
+
+
+def choose_incremental_plan(
+    n_delta: int,
+    n_corpus: int,
+    prev_total_wall: float,
+    *,
+    fixed_overhead_sec: float = INCREMENTAL_FIXED_OVERHEAD_SEC,
+    delta_cost_factor: float = DELTA_COST_FACTOR,
+    frac_cutoff: float = DELTA_FRACTION_CUTOFF,
+) -> dict:
+    """Cost-model plan choice: delta path vs full rerun.
+
+    est_full  = prev_total_wall · (1 + r)            (r = delta fraction)
+    est_delta = fixed_overhead + prev_total_wall · r · delta_cost_factor
+
+    ``prev_total_wall`` is the sum of the previous run's checkpointed
+    stage walls (CheckpointRunner.stage_stats — the manifests record
+    them per stage), so the model self-calibrates to the actual corpus
+    and hardware rather than to row-count constants. The fraction cutoff
+    guards the equivalence envelope: a delta rewriting >25% of the
+    corpus stresses the incremental contraction for no win.
+
+    Calibration against measured walls: at sf0.1 (W=1.75 s, r=0.11) →
+    est_delta 3.9 vs est_full 1.9 → full (measured: 3.17 vs 1.75 —
+    correct choice); at the 1M soak (W≈70 s, r≈0.01) → est_delta 4.9 vs
+    est_full 70.7 → delta (measured 8.9× win — correct choice)."""
+    if n_corpus <= 0 or prev_total_wall <= 0:
+        return {
+            "plan": "full",
+            "reason": "no previous state to amortize",
+            "est_delta_sec": None,
+            "est_full_sec": None,
+        }
+    r = n_delta / float(n_corpus)
+    est_full = prev_total_wall * (1.0 + r)
+    est_delta = fixed_overhead_sec + prev_total_wall * r * delta_cost_factor
+    if r > frac_cutoff:
+        plan, reason = "full", f"delta fraction {r:.2f} > {frac_cutoff}"
+    elif est_delta < est_full:
+        plan, reason = "delta", f"est {est_delta:.2f}s < full {est_full:.2f}s"
+    else:
+        plan, reason = "full", f"est {est_delta:.2f}s >= full {est_full:.2f}s"
+    return {
+        "plan": plan,
+        "reason": reason,
+        "delta_fraction": round(r, 4),
+        "est_delta_sec": round(est_delta, 3),
+        "est_full_sec": round(est_full, 3),
+        "prev_total_wall": round(prev_total_wall, 3),
+    }
+
+
+def run_er_incremental_auto(
+    delta_pages_ds,
+    cfg: "ERConfig | None" = None,
+    *,
+    state_dir: str,
+    prev_run_id: str,
+    full_pages_ds=None,
+    deleted_urls=None,
+    **kw,
+) -> dict:
+    """Plan-selected run-over-run ER: consult
+    :func:`choose_incremental_plan` against the previous run's manifests
+    and run either the delta path or a full rerun.
+
+    ``full_pages_ds``: the combined corpus (previous input + delta) for
+    the full-rerun plan; when absent and the model picks full, the delta
+    path runs anyway with the decision logged (the caller kept only the
+    state, so a rerun is impossible from here). Tombstone deletions are
+    inherently delta-shaped and always take the delta path. The result
+    carries the decision under ``["incremental"]["plan"]``."""
+    import logging
+
+    cfg = cfg or ERConfig()
+    prev = CheckpointRunner(state_dir, prev_run_id)
+    n_corpus = (prev.stage_stats("deduped") or {}).get("rows", 0)
+    total_wall = sum(
+        (prev.stage_stats(s) or {}).get("wall_seconds", 0.0)
+        for s in STATE_STAGES
+    )
+    try:
+        n_delta = delta_pages_ds.count()
+    except Exception:
+        n_delta = 0
+    decision = choose_incremental_plan(n_delta, n_corpus, total_wall)
+    if deleted_urls is not None:
+        decision = {**decision, "plan": "delta",
+                    "reason": "tombstone deletions are delta-shaped"}
+    if decision["plan"] == "full" and full_pages_ds is None:
+        logging.getLogger(__name__).warning(
+            "incremental plan chose full rerun (%s) but no full corpus "
+            "was provided — running the delta path", decision["reason"],
+        )
+        decision = {**decision, "plan": "delta",
+                    "reason": decision["reason"] + " (no full corpus given)"}
+
+    if decision["plan"] == "full":
+        out = run_er(full_pages_ds, cfg)
+        out["incremental"] = {
+            **decision,
+            "n_delta": n_delta,
+            "n_corpus": n_corpus,
+        }
+        return out
+
+    out = run_er_incremental(
+        delta_pages_ds, cfg, state_dir=state_dir, prev_run_id=prev_run_id,
+        deleted_urls=deleted_urls, **kw,
+    )
+    out["incremental"] = {**out.get("incremental", {}), **decision}
+    return out

@@ -178,6 +178,25 @@ class CheckpointRunner:
         ER pipeline)."""
         return self._read(self._stage_dir(name))
 
+    def stage_stats(self, name: str) -> dict:
+        """{"rows", "wall_seconds"} recorded in the stage's manifest —
+        the cost-model inputs for run-over-run plan selection
+        (er_incremental.choose_incremental_plan). Empty dict if the
+        stage or manifest is missing."""
+        import json as _json
+
+        try:
+            with open(
+                os.path.join(self._stage_dir(name), "_manifest.json")
+            ) as f:
+                man = _json.load(f)
+            return {
+                "rows": int(man.get("rows", 0)),
+                "wall_seconds": float(man.get("wall_seconds", 0.0)),
+            }
+        except Exception:
+            return {}
+
     def stage_names(self) -> list[str]:
         return sorted(
             d.split("=", 1)[1]

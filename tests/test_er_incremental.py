@@ -571,3 +571,74 @@ def test_incremental_chain_delete_then_delta(ray_session, split_corpus, tmp_path
     full = run_er(rd.from_arrow(combined), _cfg())
     pd.testing.assert_frame_equal(_clusters_df(inc2), _clusters_df(full))
     pd.testing.assert_frame_equal(_golden_df(inc2), _golden_df(full))
+
+
+# ---------------------------------------------------------------------------
+# Run-over-run plan selection (round-3 review item #3)
+# ---------------------------------------------------------------------------
+
+
+def test_choose_incremental_plan_cost_model():
+    from mdmpublic_ray.pipelines.er_incremental import choose_incremental_plan
+
+    # bench-scale calibration point: full wall below the delta path's
+    # fixed overhead → full rerun wins
+    d = choose_incremental_plan(713, 6537, 1.75)
+    assert d["plan"] == "full"
+    # soak-scale: big corpus, ~1% delta → delta path wins
+    d = choose_incremental_plan(2_200, 220_000, 70.0)
+    assert d["plan"] == "delta"
+    # huge delta fraction is out of the incremental envelope
+    d = choose_incremental_plan(120_000, 220_000, 70.0)
+    assert d["plan"] == "full" and "fraction" in d["reason"]
+    # no usable previous state
+    assert choose_incremental_plan(10, 0, 0.0)["plan"] == "full"
+
+
+def test_auto_plan_full_rerun_equals_incremental(ray_session, split_corpus, tmp_path):
+    """At test scale the planner must choose the full rerun, and the
+    auto result must equal both the plain full run and the delta path
+    (the standing equivalence invariant)."""
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er_incremental import run_er_incremental_auto
+
+    pages, base, delta = split_corpus
+    state = str(tmp_path / "state_auto")
+    run_er(rd.from_arrow(base), _cfg(state, "base"))
+
+    auto = run_er_incremental_auto(
+        rd.from_arrow(delta), _cfg(), state_dir=state, prev_run_id="base",
+        full_pages_ds=rd.from_arrow(pages),
+    )
+    assert auto["incremental"]["plan"] == "full"
+    full = run_er(rd.from_arrow(pages), _cfg())
+    pd.testing.assert_frame_equal(_clusters_df(auto), _clusters_df(full))
+    pd.testing.assert_frame_equal(_golden_df(auto), _golden_df(full))
+
+    # without a full corpus the decision degrades to the delta path,
+    # which still equals the full result (equivalence invariant)
+    fallback = run_er_incremental_auto(
+        rd.from_arrow(delta), _cfg(), state_dir=state, prev_run_id="base",
+    )
+    assert fallback["incremental"]["plan"] == "delta"
+    assert "no full corpus" in fallback["incremental"]["reason"]
+    pd.testing.assert_frame_equal(_clusters_df(fallback), _clusters_df(full))
+
+
+def test_auto_plan_deletions_take_delta_path(ray_session, split_corpus, tmp_path):
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er_incremental import run_er_incremental_auto
+
+    pages, base, delta = split_corpus
+    state = str(tmp_path / "state_del")
+    run_er(rd.from_arrow(base), _cfg(state, "base"))
+    tomb = sorted(set(base["url"].to_pylist()))[::50]
+    out = run_er_incremental_auto(
+        rd.from_arrow(base.schema.empty_table()), _cfg(),
+        state_dir=state, prev_run_id="base",
+        full_pages_ds=rd.from_arrow(pages), deleted_urls=tomb,
+    )
+    assert out["incremental"]["plan"] == "delta"
+    assert out["incremental"]["n_deleted"] == len(tomb)
