@@ -43,18 +43,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle per SQL-expressible query (same column names; exact
     fixed-point sums — see queries.py module docstring). The flagship ER
-    pipeline IS oracle-checked end-to-end via ``er_clusters_oracle`` and
+    pipeline IS oracle-checked end-to-end via ``er_clusters_oracle`` /
     ``er_golden_oracle`` (restricted corpus where the planted truth is
-    SQL-provable). Keys absent here (the simhash/minhash cluster
-    pipelines, the LSH/IVF ANN paths and distributed k-means, the
-    unrestricted er_* pipelines, pages_media_features — pixel decode has
-    no SQL form — CDC chunk dedup docs_cdc_dedup, the ExactSubstr span
-    cutter docs_strip_dup_spans — a multi-stage text rewrite with no
+    SQL-provable) and, round 4, via ``er_clusters_emb_oracle`` /
+    ``er_golden_emb_oracle`` (same restriction, scored with the learned
+    embedding model). The approximate-ANN/dedup family is also
+    oracle-checked round 4 via planted/restricted corpora with provable
+    recall 1.0: ``knn_cosine_lsh``, ``knn_cosine_ivf``,
+    ``docs_minhash_clusters``, ``docs_simhash_clusters`` (their
+    unrestricted ``*_full`` variants stay rows-only). Keys absent here
+    (the ``*_full`` scale demos, distributed k-means, the unrestricted
+    er_* pipelines, pages_media_features — pixel decode has no SQL
+    form — CDC chunk dedup docs_cdc_dedup, the ExactSubstr span cutter
+    docs_strip_dup_spans — a multi-stage text rewrite with no
     single-statement SQL form (its detection pass docs_dup_ngrams IS
-    oracled) — and the sketch variants docs_distinct_tokens_hll / docs_top_tokens_mg /
-    docs_len_quantiles_mrl) are non-SQL-expressible or approximate
-    pipelines → rows-only check, each with dedicated pytest semantics
-    (error bounds, recall floors, or planted-truth equality)."""
+    oracled) — and the sketch variants docs_distinct_tokens_hll /
+    docs_top_tokens_mg / docs_len_quantiles_mrl) are
+    non-SQL-expressible or approximate pipelines → rows-only check,
+    each with dedicated pytest semantics (error bounds, recall floors,
+    or planted-truth equality)."""
     from mdmpublic_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -22,7 +22,18 @@ from .util import DEFAULT_BUCKETS  # noqa: F401
 # Below this many deduped pages the slim survivorship fields are broadcast
 # (ray.put once) and attached in a map — one shuffle (the cluster_id
 # groupby) instead of two. Same size-aware plan selection as scoring.
-GOLDEN_BROADCAST_THRESHOLD = 200_000
+# 128-GiB calibration point, memory-scaled like the dedup winner cap
+# (round 4): the slim payload is ~80 B/row, so 5M rows ≈ 400 MB — the
+# same budget the winner-broadcast dedup ships. The old hard 200k cap
+# pushed the 484k-page scaling corpus onto the two-shuffle join path,
+# costing 2.1 s at 16 CPUs and 2.7 s at 4 (measured, round-4 session).
+GOLDEN_BROADCAST_THRESHOLD = 5_000_000
+
+
+def _golden_broadcast_rows() -> int:
+    from .util import memory_scaled_cap
+
+    return memory_scaled_cap(GOLDEN_BROADCAST_THRESHOLD, lo=100_000)
 
 
 def golden_records(
@@ -31,7 +42,7 @@ def golden_records(
     *,
     num_partitions: int | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
-    broadcast_threshold: int = GOLDEN_BROADCAST_THRESHOLD,
+    broadcast_threshold: int | None = None,
 ):
     """clusters(url, cluster_id) ⋈ deduped pages → golden records.
 
@@ -43,6 +54,8 @@ def golden_records(
     from .util import bucketed_join, default_partitions
 
     num_partitions = num_partitions or default_partitions()
+    if broadcast_threshold is None:
+        broadcast_threshold = _golden_broadcast_rows()
     # Project pages to the survivorship fields BEFORE any shuffle: the
     # text column (the bulk of a page row) reduces to its length here, so
     # neither the join nor the cluster groupby ever moves document text
