@@ -36,6 +36,11 @@ def _golden_broadcast_rows() -> int:
     return memory_scaled_cap(GOLDEN_BROADCAST_THRESHOLD, lo=100_000)
 
 
+# per-worker cache of the broadcast survivorship payload (hash index
+# built once per worker, probed per batch — see attach below)
+_GOLD_CACHE: dict = {}
+
+
 def golden_records(
     clusters_ds,
     pages_ds,
@@ -95,11 +100,22 @@ def golden_records(
         )
 
         def attach(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
             import ray as _ray
 
-            purl, ts, lg, tl = _ray.get(ref)
-            idx = pc.index_in(t["url"], value_set=purl)
+            # per-worker cached hash index (round-4 fix): pc.index_in
+            # rebuilds its value_set hash table PER BATCH — at the 4M-page
+            # soak that was 504 s of a 967 s wall. The pandas Index is
+            # built once per worker per broadcast ref and probed per
+            # batch (same _LBL_CACHE pattern as cluster.py).
+            key = ("golden", ref.hex())
+            cached = _GOLD_CACHE.get(key)
+            if cached is None:
+                purl, ts, lg, tl = _ray.get(ref)
+                cached = (pd.Index(purl.to_pandas()), ts, lg, tl)
+                _GOLD_CACHE.clear()
+                _GOLD_CACHE[key] = cached
+            pidx, ts, lg, tl = cached
+            idx = pa.array(pidx.get_indexer(t["url"].to_pandas()), pa.int64())
             return pa.table(
                 {
                     "url": t["url"],
