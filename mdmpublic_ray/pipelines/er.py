@@ -414,7 +414,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
     bc_box: dict = {}
     bc_thread = None
     from ..stages.scoring import (
-        BROADCAST_FEATURES_THRESHOLD,
+        broadcast_features_rows,
         build_broadcast_features_ref,
     )
 
@@ -423,7 +423,7 @@ def run_er(pages_ds, cfg: ERConfig | None = None) -> dict:
     # invalid after all (changed params), score_pairs builds inline.
     scored_likely_cached = ck is not None and ck.is_valid("scored")
     if not scored_likely_cached and (
-        0 < features.count() <= BROADCAST_FEATURES_THRESHOLD
+        0 < features.count() <= broadcast_features_rows()
     ):
         import threading
 

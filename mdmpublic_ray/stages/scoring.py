@@ -142,16 +142,31 @@ def pad_sketch_column(col, width: int | None = None) -> tuple[np.ndarray, np.nda
 # Below this many feature rows the features table is broadcast (ray.put
 # once, zero-copy per worker) instead of shuffle-joined twice — the
 # broadcast-vs-shuffle join selection every planner does on side size.
-# Budget is BYTES, not rows: a feature row is ~1.4 KB (sketch_k×8 + url/
-# title), so 1M rows ≈ 1.4 GB — one shared-memory copy per NODE, fine on
-# 128 GB workers. Beyond it prefer the bucketed on-disk feature store
+# Beyond it prefer the bucketed on-disk feature store
 # (stages/featurestore.py): pairs-only shuffle + per-task bucket probe —
 # pass ``feature_store_dir`` to get that plan. The two shuffle joins
 # remain the store-less fallback; their cost shape is bad at web scale
 # (the joined intermediate carries BOTH sketches per pair, ~2.7 KB ×
 # pairs — measured 65 GB through the shuffle for a 24M-pair corpus, vs
-# a 310 MB broadcast / a pairs-sized store shuffle).
-BROADCAST_FEATURES_THRESHOLD = 1_000_000
+# a pairs-sized store shuffle).
+# 128-GiB calibration point, memory-scaled like the other plan caps
+# (round 4): the payload is ~1.6 KB/row (bottom-k sketch dominates), so
+# 6M rows ≈ 9.6 GB — ONE shared-memory plasma object; the scorer's
+# per-worker payload is numpy/Arrow views of it (zero-copy ray.get), so
+# worker count does not multiply the cost. Measured at the 4M-page soak
+# (3.23M features / 107.8M pairs): broadcast 72.2 s vs store/join
+# ~280 s — the old hard 1M cap was 3.9× off on this box. The effective
+# cap scales with the driver node's Ray "memory" resource (~0.7×
+# system RAM), so the 6M base lands at ~4.1M rows here; the bucketed
+# feature store remains the beyond-memory answer.
+BROADCAST_FEATURES_THRESHOLD = 6_000_000
+
+
+def broadcast_features_rows() -> int:
+    """Memory-scaled effective broadcast cap (see constant above)."""
+    from .util import memory_scaled_cap
+
+    return memory_scaled_cap(BROADCAST_FEATURES_THRESHOLD, lo=100_000)
 
 
 def scored_schema(with_cos: bool = False) -> pa.Schema:
@@ -222,7 +237,7 @@ def score_pairs(
     num_partitions: int | None = None,
     threshold: float = DEFAULT_THRESHOLD,
     sketch_k: int = 160,
-    broadcast_threshold: int = BROADCAST_FEATURES_THRESHOLD,
+    broadcast_threshold: int | None = None,
     feature_store_dir: str | None = None,
     emb_weight: float = 0.0,
     prebuilt_broadcast_ref=None,
@@ -273,6 +288,8 @@ def score_pairs(
     except Exception:
         pass
 
+    if broadcast_threshold is None:
+        broadcast_threshold = broadcast_features_rows()
     # features is a materialized stage in run_er → count() is free
     if broadcast_threshold and features_ds.count() <= broadcast_threshold:
         return _score_broadcast(
