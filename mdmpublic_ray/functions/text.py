@@ -502,6 +502,13 @@ def canonicalize_package_list(s: str) -> str:
     return ",".join(sorted(out))
 
 
+# int32 Arrow string offsets bound one batch's total chunk bytes; a
+# batch over the bound is SPLIT (not promoted to large_string — see the
+# schema-consistency note inside). Module-level so tests can exercise
+# the split path without a 2-GiB allocation.
+_CHUNK_TEXT_MAX_BYTES = np.iinfo(np.int32).max
+
+
 def chunk_token_windows(
     t,
     *,
@@ -598,18 +605,36 @@ def chunk_token_windows(
     values = (
         np.concatenate(pieces) if pieces else np.empty(0, dtype=np.uint8)
     )
-    if out_off[-1] <= np.iinfo(np.int32).max:
+    if out_off[-1] <= _CHUNK_TEXT_MAX_BYTES:
         chunk_text = pa.StringArray.from_buffers(
             len(lengths),
             pa.py_buffer(out_off.astype(np.int32).tobytes()),
             pa.py_buffer(values.tobytes()),
         )
     else:
-        chunk_text = pa.LargeStringArray.from_buffers(
-            len(lengths),
-            pa.py_buffer(out_off.tobytes()),
-            pa.py_buffer(values.tobytes()),
-        )
+        # Schema-consistency fix (round-4 advice): emitting large_string
+        # only for THIS batch would fail Arrow/Ray schema unification
+        # against other batches' string chunks. Split the doc set and
+        # recurse instead — every output batch stays plain string.
+        if n_docs < 2:
+            raise ValueError(
+                "chunk_token_windows: a single document's chunk output "
+                f"exceeds int32 offsets ({int(out_off[-1])} bytes) — "
+                "reduce size/stride overlap or pre-split the document"
+            )
+        mid = n_docs // 2
+        return pa.concat_tables(
+            [
+                chunk_token_windows(
+                    t.slice(0, mid), id_col=id_col, text_col=text_col,
+                    size=size, stride=stride,
+                ),
+                chunk_token_windows(
+                    t.slice(mid), id_col=id_col, text_col=text_col,
+                    size=size, stride=stride,
+                ),
+            ]
+        ).combine_chunks()
     ids = t[id_col]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()

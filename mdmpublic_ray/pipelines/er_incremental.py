@@ -1044,6 +1044,7 @@ def run_er_incremental_auto(
     inherently delta-shaped and always take the delta path. The result
     carries the decision under ``["incremental"]["plan"]``."""
     import logging
+    import os
 
     cfg = cfg or ERConfig()
     prev = CheckpointRunner(state_dir, prev_run_id)
@@ -1069,6 +1070,27 @@ def run_er_incremental_auto(
                     "reason": decision["reason"] + " (no full corpus given)"}
 
     if decision["plan"] == "full":
+        # Checkpoint-reuse hazard (round-4 advice): a state-maintaining
+        # caller naturally passes cfg.checkpoint_dir=state_dir with
+        # cfg.run_id=prev_run_id — but CheckpointRunner validates stages
+        # by params/parents, NOT input fingerprints, so the rerun would
+        # silently serve the OLD corpus's outputs and drop the delta.
+        # Force a fresh run_id for the rerun (unique per call: repeated
+        # reruns under one id would stale-serve each other the same way).
+        if cfg.checkpoint_dir and cfg.run_id == prev_run_id and (
+            os.path.abspath(cfg.checkpoint_dir) == os.path.abspath(state_dir)
+        ):
+            import dataclasses
+            import uuid
+
+            fresh = f"{prev_run_id}-fullrerun-{uuid.uuid4().hex[:12]}"
+            logging.getLogger(__name__).warning(
+                "full-rerun requested against the previous run's own "
+                "checkpoint state (run_id=%r in %s) — forcing fresh "
+                "run_id=%r so stale stage outputs cannot be served",
+                prev_run_id, state_dir, fresh,
+            )
+            cfg = dataclasses.replace(cfg, run_id=fresh)
         out = run_er(full_pages_ds, cfg)
         out["incremental"] = {
             **decision,

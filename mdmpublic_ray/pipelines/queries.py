@@ -1692,6 +1692,20 @@ def _knn_planted_extra(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table
     idx = np.repeat(np.arange(n), k)
     emb = q["embedding"].combine_chunks().take(pa.array(idx))
     qids = q["vec_id"].to_numpy()
+    # collision guard (round-4 advice): at a scale factor where real
+    # vec_ids reach the plant offset, planted ids would collide with
+    # real rows and the oracle would break data-dependently. Fail with
+    # the offset named instead.
+    import pyarrow.compute as _pc
+
+    max_vid = _pc.max(
+        read_table_arrow(sf_dir, "embeddings", ["vec_id"])["vec_id"]
+    ).as_py()
+    if max_vid is not None and max_vid >= _KNN_PLANT_OFFSET:
+        raise ValueError(
+            f"planted kNN oracle: max vec_id {max_vid} >= plant offset "
+            f"{_KNN_PLANT_OFFSET} — raise _KNN_PLANT_OFFSET for this scale"
+        )
     new_ids = (
         _KNN_PLANT_OFFSET
         + np.repeat(qids, k) * k
@@ -1979,6 +1993,15 @@ def _restricted_planted_docs(sf_dir: str, excluded=None):
         )
     else:
         keep = tbl
+    # collision guard (round-4 advice): planted ids must not collide
+    # with real doc_ids at larger scale factors.
+    max_did = pc.max(tbl["doc_id"]).as_py()
+    if max_did is not None and max_did >= _PLANT_DOC_OFFSET:
+        raise ValueError(
+            f"planted near-dup oracle: max doc_id {max_did} >= plant "
+            f"offset {_PLANT_DOC_OFFSET} — raise _PLANT_DOC_OFFSET for "
+            "this scale"
+        )
     dup = pa.table(
         {
             "doc_id": pc.add(keep["doc_id"], _PLANT_DOC_OFFSET),

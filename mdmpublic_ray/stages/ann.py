@@ -51,7 +51,7 @@ def _topk_batch(batch: pa.Table, *, queries_ref, k: int) -> pa.Table:
     if cached is None:
         qids, qmat = ray.get(queries_ref)
         cached = (qids, _normalize(qmat))
-        _ANN_CACHE.clear()
+        _ann_cache_evict("knn_queries")
         _ANN_CACHE[key] = cached
     qids, q = cached
 
@@ -733,7 +733,7 @@ def semantic_dedup(
     def assign(t: pa.Table, cents_ref) -> pa.Table:
         c = _ANN_CACHE.get(("semdedup", cents_ref.hex()))
         if c is None:
-            _ANN_CACHE.clear()
+            _ann_cache_evict("semdedup")
             c = ray.get(cents_ref)
             _ANN_CACHE[("semdedup", cents_ref.hex())] = c
         m = _normalize(_embedding_matrix(t))
@@ -812,3 +812,11 @@ def semantic_dedup(
 
 
 _ANN_CACHE: dict = {}
+
+
+def _ann_cache_evict(prefix: str) -> None:
+    """Evict only this stage family's stale entries (round-4 advice):
+    a whole-dict clear() let interleaved knn/semdedup stages on one
+    worker evict each other every batch, defeating both caches."""
+    for k in [k for k in _ANN_CACHE if k[0] == prefix]:
+        _ANN_CACHE.pop(k, None)

@@ -90,6 +90,17 @@ def golden_records(
         tbl = pa.concat_tables(
             [b for b in ray.get(_m.to_arrow_refs()) if b.num_rows]
         ).combine_chunks()
+        # purl must be unique (pages_ds is the POST-dedup table): a
+        # duplicate would make pd.Index.get_indexer raise an opaque
+        # InvalidIndexError inside a worker — and means the dedup
+        # invariant broke upstream. Fail here with a usable message.
+        n_dup = len(tbl) - pa.compute.count_distinct(tbl["purl"]).as_py()
+        if n_dup:
+            raise ValueError(
+                f"golden_records broadcast: pages table has {n_dup} "
+                "duplicate url(s) — input must be the deduplicated pages "
+                "stage (one row per url)"
+            )
         ref = ray.put(
             (
                 tbl["purl"].combine_chunks(),
@@ -115,7 +126,19 @@ def golden_records(
                 _GOLD_CACHE.clear()
                 _GOLD_CACHE[key] = cached
             pidx, ts, lg, tl = cached
-            idx = pa.array(pidx.get_indexer(t["url"].to_pandas()), pa.int64())
+            raw = pidx.get_indexer(t["url"].to_pandas())
+            # exact-coverage invariant (round-4 advice): every cluster
+            # member must exist in the pages payload — a miss previously
+            # surfaced as ArrowIndexError from take(-1) (or as silently
+            # dropped rows on the join plan). Name the missing urls.
+            if (raw < 0).any():
+                miss = t["url"].to_pandas()[raw < 0].head(5).tolist()
+                raise ValueError(
+                    "golden_records broadcast: cluster member url(s) "
+                    f"missing from the pages table, e.g. {miss} — "
+                    "clusters and pages inputs are out of sync"
+                )
+            idx = pa.array(raw, pa.int64())
             return pa.table(
                 {
                     "url": t["url"],

@@ -341,3 +341,19 @@ def test_semantic_dedup_query_runs_on_testdata(ray_session):
     assert len(out) == 500  # one row per embedding
     assert set(out.columns) == {"vec_id", "centroid_id", "keep", "dup_of"}
     assert out["keep"].any()
+
+
+def test_ann_cache_eviction_is_prefix_scoped():
+    """Round-4 advice: knn query-cache inserts must not evict semdedup
+    centroid entries (and vice versa) — interleaved stages on one worker
+    previously cleared each other's cache every batch."""
+    from mdmpublic_ray.stages import ann
+
+    ann._ANN_CACHE.clear()
+    ann._ANN_CACHE[("knn_queries", "a")] = 1
+    ann._ANN_CACHE[("semdedup", "b")] = 2
+    ann._ann_cache_evict("knn_queries")
+    assert ("semdedup", "b") in ann._ANN_CACHE
+    assert ("knn_queries", "a") not in ann._ANN_CACHE
+    ann._ann_cache_evict("semdedup")
+    assert ann._ANN_CACHE == {}

@@ -642,3 +642,32 @@ def test_auto_plan_deletions_take_delta_path(ray_session, split_corpus, tmp_path
     )
     assert out["incremental"]["plan"] == "delta"
     assert out["incremental"]["n_deleted"] == len(tomb)
+
+
+def test_auto_plan_full_rerun_never_serves_stale_checkpoint(
+    ray_session, split_corpus, tmp_path
+):
+    """Round-4 advice: a state-maintaining caller passing
+    cfg.checkpoint_dir=state_dir with cfg.run_id=prev_run_id must NOT
+    have the full rerun served from the OLD corpus's checkpoints (stage
+    params/parents are unchanged, so CheckpointRunner would consider
+    them valid and silently drop the delta)."""
+    import ray.data as rd
+
+    from mdmpublic_ray.pipelines.er_incremental import run_er_incremental_auto
+
+    pages, base, delta = split_corpus
+    state = str(tmp_path / "state_stale")
+    run_er(rd.from_arrow(base), _cfg(state, "base"))
+
+    # the hazardous config: same checkpoint dir AND same run_id
+    out = run_er_incremental_auto(
+        rd.from_arrow(delta), _cfg(state, "base"),
+        state_dir=state, prev_run_id="base",
+        full_pages_ds=rd.from_arrow(pages),
+    )
+    assert out["incremental"]["plan"] == "full"
+    full = run_er(rd.from_arrow(pages), _cfg())
+    # stale-serve would reproduce the BASE corpus's clusters instead
+    pd.testing.assert_frame_equal(_clusters_df(out), _clusters_df(full))
+    pd.testing.assert_frame_equal(_golden_df(out), _golden_df(full))

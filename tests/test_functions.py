@@ -226,3 +226,44 @@ def test_chunk_token_windows_large_string_and_nulls():
     )
     with pytest.raises(TypeError, match="string"):
         chunk_token_windows(bad)
+
+
+def test_chunk_token_windows_oversize_batch_splits_not_large_string():
+    """Round-4 advice: a batch whose chunk output would cross the int32
+    offset bound is SPLIT recursively so every output batch stays plain
+    ``string`` (a one-off large_string batch fails Arrow/Ray schema
+    unification against other batches downstream)."""
+    import pyarrow as pa
+
+    from mdmpublic_ray.functions import text as textmod
+    from mdmpublic_ray.functions.text import chunk_token_windows
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b c d", "e f", "g h i", "j"]),
+        }
+    )
+    want = chunk_token_windows(t, size=2, stride=1).to_pandas()
+    old = textmod._CHUNK_TEXT_MAX_BYTES
+    textmod._CHUNK_TEXT_MAX_BYTES = 14  # forces the split path
+    try:
+        got = chunk_token_windows(t, size=2, stride=1)
+    finally:
+        textmod._CHUNK_TEXT_MAX_BYTES = old
+    assert got["chunk_text"].type == pa.string()
+    assert got.to_pandas().equals(want)
+
+    # a single doc over the bound cannot split — loud error, not a
+    # silently schema-breaking large_string batch
+    import pytest
+
+    one = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array(["a b c d e"])}
+    )
+    textmod._CHUNK_TEXT_MAX_BYTES = 2
+    try:
+        with pytest.raises(ValueError, match="int32"):
+            chunk_token_windows(one, size=3, stride=3)
+    finally:
+        textmod._CHUNK_TEXT_MAX_BYTES = old

@@ -89,3 +89,35 @@ def test_empty_bucket_schema():
     out = resolve_bucket(frame().iloc[0:0], "k", RULES)
     assert list(out.columns) == ["k"] + [r.out for r in RULES]
     assert out.empty
+
+
+def test_golden_broadcast_coverage_guards(ray_session):
+    """Round-4 advice: the broadcast attach fails LOUDLY (named urls /
+    named invariant) on out-of-sync inputs instead of ArrowIndexError
+    from take(-1) or pandas InvalidIndexError."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from mdmpublic_ray.stages.golden import golden_records
+
+    pages = pa.table(
+        {
+            "url": ["u1", "u2"],
+            "warc_ts": [1, 2],
+            "lang": ["en", "en"],
+            "text": ["aa", "bb"],
+        }
+    )
+    clusters_bad = rd.from_arrow(
+        pa.table({"url": ["u1", "u3"], "cluster_id": ["u1", "u1"]})
+    )
+    with pytest.raises(Exception, match="missing from the pages"):
+        golden_records(clusters_bad, rd.from_arrow(pages)).materialize()
+
+    dup_pages = pa.concat_tables([pages, pages.slice(0, 1)])
+    clusters_ok = rd.from_arrow(
+        pa.table({"url": ["u1"], "cluster_id": ["u1"]})
+    )
+    with pytest.raises(Exception, match="duplicate url"):
+        golden_records(clusters_ok, rd.from_arrow(dup_pages)).materialize()
