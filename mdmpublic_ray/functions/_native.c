@@ -154,6 +154,47 @@ void sketch_jacc_idx(const uint64_t *mat, int64_t stride,
     }
 }
 
+/* Two-matrix indexed form: ia indexes rows of matA, ib rows of matB
+ * (the feature-store scoring path probes two different bucket
+ * payloads). Identical estimator; avoids the (n x k) gather of the
+ * rows form entirely — rows are read in place from both matrices. */
+void sketch_jacc_idx2(const uint64_t *matA, int64_t strideA,
+                      const int64_t *lensA, const uint64_t *matB,
+                      int64_t strideB, const int64_t *lensB,
+                      const int64_t *ia, const int64_t *ib, int64_t n,
+                      int64_t kcap, double *out)
+{
+    for (int64_t p = 0; p < n; p++) {
+        const uint64_t *A = matA + ia[p] * strideA;
+        const uint64_t *B = matB + ib[p] * strideB;
+        int64_t la = lensA[ia[p]], lb = lensB[ib[p]];
+        if (la + lb == 0) {
+            out[p] = 1.0;
+            continue;
+        }
+        int64_t i = 0, j = 0, r = 0, both = 0;
+        while (i < la && j < lb) {
+            uint64_t x = A[i], y = B[j];
+            if (x == y) {
+                r++;
+                if (r <= kcap)
+                    both++;
+                i++;
+                j++;
+            } else if (x < y) {
+                r++;
+                i++;
+            } else {
+                r++;
+                j++;
+            }
+        }
+        r += (la - i) + (lb - j);
+        int64_t kk = kcap < r ? kcap : r;
+        out[p] = (double)both / (double)(kk > 0 ? kk : 1);
+    }
+}
+
 /* Same estimator over two pre-gathered padded matrices (the shuffle-
  * join and feature-store scoring paths hand the kernel (n x ka) /
  * (n x kb) rows). Padding beyond lens is never read. */

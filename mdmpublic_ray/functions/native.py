@@ -65,6 +65,11 @@ def _build() -> ctypes.CDLL | None:
     lib.sketch_jacc_rows.argtypes = [
         _p_u64, _i64, _p_i64, _p_u64, _i64, _p_i64, _i64, _i64, _p_f64,
     ]
+    lib.sketch_jacc_idx2.restype = None
+    lib.sketch_jacc_idx2.argtypes = [
+        _p_u64, _i64, _p_i64, _p_u64, _i64, _p_i64,
+        _p_i64, _p_i64, _i64, _i64, _p_f64,
+    ]
     return lib
 
 

@@ -1,30 +1,43 @@
-"""Bucketed on-disk feature store: the beyond-broadcast scoring path.
+"""Bucketed feature store: the beyond-broadcast scoring path.
 
-``score_pairs`` has two physical plans (scoring.py): broadcast the
-feature table when it fits a node's memory, else two bucketed hash
-joins. The join fallback has a bad cost shape at web scale — the joined
-intermediate carries BOTH ~1.3 KB sketch payloads per candidate pair
-(measured 65 GB through the shuffle for a 24M-pair corpus vs a 310 MB
-broadcast). This module is the design BASELINE.md §"broadcast threshold"
-documents as the true fix: persist features ONCE as uid-bucketed
-parquet (a stage checkpoint, exactly like the reference pipeline's
-per-stage snapshots, `jenkins_scripts/jenkins/collect_files.sh` ancestry
-via SURVEY §2.1 S7/S10), then shuffle only the 16-byte uid PAIRS,
-grouped by (bucket(uid_a), bucket(uid_b)), and let each scoring task
-PROBE the two bucket files it needs:
+``score_pairs`` has three physical plans (scoring.py): broadcast the
+feature table when it fits a node's memory, two bucketed hash joins as
+the store-less fallback, and THIS plan for web scale. The join fallback
+has a bad cost shape — the joined intermediate carries BOTH ~1.3 KB
+sketch payloads per candidate pair (measured 65 GB through the shuffle
+for a 24M-pair corpus vs a 310 MB broadcast). The store plan instead:
 
-- exchange bytes ∝ pairs × 16 B (+ small group keys), never pairs ×
-  sketch bytes — the 65 GB shuffle becomes ~400 MB at 24M pairs;
-- store reads ∝ n_buckets × bucket_bytes per side worst case, bounded,
-  column-pruned, and served from a per-worker-process LRU cache (hot
-  buckets decode once per worker, not once per task);
-- bucket files are written with `partition_cols` so a 100-TB store is
-  resumable / appendable per bucket directory.
+- persists features ONCE as uid-bucketed parquet (a stage checkpoint,
+  exactly like the reference pipeline's per-stage snapshots,
+  ``jenkins_scripts/jenkins/collect_files.sh`` ancestry via SURVEY
+  §2.1 S7/S10), written with ``partition_cols`` so a 100-TB store is
+  resumable / appendable per bucket directory;
+- DECODES each bucket exactly once, cluster-wide, into the Ray object
+  store (one remote task per bucket → scoring-ready payload in plasma:
+  sorted uids, padded sketch matrix, dictionary-coded url/title packs).
+  This is the build side of a distributed hash join, sharded across the
+  cluster's aggregate plasma — the thing a single-node broadcast cannot
+  be at 100 TB. Workers map payloads in ZERO-COPY (``ray.get`` of numpy
+  /Arrow views over shared memory), so neither worker count nor task
+  count multiplies the decode cost — the round-4 soak measured the
+  per-task re-decode of the previous design at 3.9× the broadcast plan;
+- shuffles only the 16-byte uid PAIRS, grouped by (bucket(uid_a),
+  bucket(uid_b)); each task probes the ≤2 payloads per group it holds.
+  Exchange bytes ∝ pairs × 16 B, never pairs × sketch bytes.
 
 Scoring semantics are IDENTICAL to the other two paths (same kernels:
-``sketch_jaccard_batch`` + dictionary-coded Jaro-Winkler); equality of
-outputs against the broadcast path is asserted in
+bottom-k sketch Jaccard — the two-matrix indexed native form — and
+dictionary-coded Jaro-Winkler via ``scoring.coded_jw_pair``); equality
+of outputs against the broadcast path is asserted in
 tests/test_featurestore.py.
+
+Multi-node note: payload refs ride the map closure and are fetched with
+``ray.get`` inside the task, so Ray's locality-aware scheduling does not
+steer tasks toward their buckets; on a real cluster each node pulls a
+bucket at most once into its local plasma (then every task on that node
+maps it zero-copy), which bounds transfer at n_nodes × bucket_bytes
+worst case. A locality-steered variant would pass the two refs as task
+arguments; measured single-node there is no difference.
 """
 
 from __future__ import annotations
@@ -33,7 +46,6 @@ import json
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -88,11 +100,57 @@ def read_store_meta(store_dir: str) -> dict:
         return json.load(f)
 
 
-# Per-worker-process cache of DECODED bucket payloads:
-# (uids sorted, urls Arrow, titles Arrow, sketch matrix, sketch lens).
-# Small LRU — each entry is ~bucket_bytes; 4 buckets × (store/64) stays
-# far under a worker's heap while giving task-to-task reuse on hot
-# (ka, kb) groups.
+def _decode_payload(store_dir: str, k: int, sketch_k: int, with_emb: bool):
+    """Read + decode ONE store bucket into a scoring-ready payload:
+    (uids sorted, urls Arrow, url pack, title pack, padded sketch
+    matrix, lens, emb matrix|None) — the per-bucket analogue of the
+    broadcast payload (scoring._score_broadcast), packs included so
+    scoring tasks never touch Python strings."""
+    import pyarrow.parquet as pq
+
+    from .scoring import (
+        _emb_matrix_from_binary,
+        pack_string_column,
+        pad_sketch_column,
+    )
+
+    path = os.path.join(store_dir, f"fs_bucket={int(k)}")
+    if not os.path.isdir(path):
+        # partitioned writes create directories only for non-empty
+        # buckets; an absent one is a valid empty bucket
+        empty_pack = (
+            np.zeros(0, np.int64),
+            np.zeros(0, np.uint32),
+            np.zeros(1, np.int64),
+        )
+        return (
+            np.zeros(0, np.int64),
+            pa.array([], pa.string()),
+            empty_pack,
+            empty_pack,
+            np.zeros((0, sketch_k), np.uint64),
+            np.zeros(0, np.int64),
+            np.zeros((0, 1)) if with_emb else None,
+        )
+    cols = ["uid", "url", "title", "sketch"] + (["emb"] if with_emb else [])
+    tbl = pq.read_table(path, columns=cols).combine_chunks()
+    tbl = tbl.take(pc.sort_indices(tbl["uid"])).combine_chunks()
+    mat, lens = pad_sketch_column(tbl["sketch"], width=sketch_k)
+    urls = tbl["url"].combine_chunks()
+    return (
+        tbl["uid"].to_numpy(zero_copy_only=False),
+        urls,
+        pack_string_column(urls),
+        pack_string_column(tbl["title"].combine_chunks()),
+        np.ascontiguousarray(mat, dtype=np.uint64),
+        np.ascontiguousarray(lens, dtype=np.int64),
+        _emb_matrix_from_binary(tbl["emb"]) if with_emb else None,
+    )
+
+
+# Per-worker-process LRU of direct-read decoded payloads (the storeless
+# fallback / test path — the distributed plan caches by object REF, see
+# _payload_from_ref, where entries are zero-copy plasma views).
 _BUCKET_CACHE: dict = {}
 _BUCKET_CACHE_MAX = 4
 
@@ -103,29 +161,33 @@ def _load_bucket(store_dir: str, k: int, sketch_k: int, with_emb: bool = False):
     if hit is not None:
         _BUCKET_CACHE[key] = hit  # re-insert = move to MRU position
         return hit
-    import pyarrow.parquet as pq
-
-    from .scoring import _emb_matrix_from_binary, pad_sketch_column
-
-    cols = ["uid", "url", "title", "sketch"] + (["emb"] if with_emb else [])
-    tbl = pq.read_table(
-        os.path.join(store_dir, f"fs_bucket={int(k)}"),
-        columns=cols,
-    ).combine_chunks()
-    tbl = tbl.take(pc.sort_indices(tbl["uid"]))
-    mat, lens = pad_sketch_column(tbl["sketch"], width=sketch_k)
-    payload = (
-        tbl["uid"].to_numpy(zero_copy_only=False),
-        tbl["url"].combine_chunks(),
-        tbl["title"].combine_chunks(),
-        mat,
-        lens,
-        _emb_matrix_from_binary(tbl["emb"]) if with_emb else None,
-    )
+    payload = _decode_payload(store_dir, k, sketch_k, with_emb)
     while len(_BUCKET_CACHE) >= _BUCKET_CACHE_MAX:
         _BUCKET_CACHE.pop(next(iter(_BUCKET_CACHE)))  # evict LRU
     _BUCKET_CACHE[key] = payload
     return payload
+
+
+# Per-worker cache of deserialized payload handles keyed by object-ref
+# hex. ray.get of a plasma object is zero-copy (numpy/Arrow buffers view
+# shared memory), so entries cost tuple-of-views only — the cache avoids
+# repeated deserialization, not data copies, and can safely span every
+# bucket a worker touches.
+_REF_CACHE: dict = {}
+_REF_CACHE_MAX = 256
+
+
+def _payload_from_ref(ref):
+    key = ref.hex()
+    hit = _REF_CACHE.pop(key, None)
+    if hit is None:
+        import ray
+
+        hit = ray.get(ref)
+    _REF_CACHE[key] = hit
+    while len(_REF_CACHE) > _REF_CACHE_MAX:
+        _REF_CACHE.pop(next(iter(_REF_CACHE)))
+    return hit
 
 
 def _score_group(
@@ -140,11 +202,14 @@ def _score_group(
     """Score one (bucket_a, bucket_b) pair group against two decoded
     bucket payloads. Same kernels and distinct-pair dedup as the
     broadcast scorer (scoring._score_broadcast_batch), generalized to
-    two payloads."""
-    from .scoring import _blend, _jw_arrow, sketch_jaccard_batch
+    two payloads: the two-matrix indexed native Jaccard reads sketch
+    rows in place (no per-pair gather), and Jaro-Winkler runs on the
+    per-bucket dictionary packs (scoring.coded_jw_pair)."""
+    from ..functions import native as _nat
+    from .scoring import _blend, coded_jw_pair, sketch_jaccard_batch
 
-    uids_a, urls_a, titles_a, mat_a, lens_a, emb_a = pa_payload
-    uids_b, urls_b, titles_b, mat_b, lens_b, emb_b = pb_payload
+    uids_a, urls_a, upack_a, tpack_a, mat_a, lens_a, emb_a = pa_payload
+    uids_b, urls_b, upack_b, tpack_b, mat_b, lens_b, emb_b = pb_payload
     ia = np.clip(np.searchsorted(uids_a, uid_a), 0, max(len(uids_a) - 1, 0))
     ib = np.clip(np.searchsorted(uids_b, uid_b), 0, max(len(uids_b) - 1, 0))
     # a pair uid absent from its store bucket means the store and the
@@ -154,16 +219,30 @@ def _score_group(
         raise ValueError("feature store probe miss: uid_a not in bucket")
     if len(uids_b) == 0 or not np.array_equal(uids_b[ib], uid_b):
         raise ValueError("feature store probe miss: uid_b not in bucket")
+    # score each DISTINCT (uid_a, uid_b) once, expand by the inverse map
     key = ia.astype(np.int64) * np.int64(len(uids_b)) + ib
     ukey, inv = np.unique(key, return_inverse=True)
     uia = (ukey // len(uids_b)).astype(np.int64)
     uib = (ukey % len(uids_b)).astype(np.int64)
-    jac = sketch_jaccard_batch(mat_a[uia], lens_a[uia], mat_b[uib], lens_b[uib], sketch_k)[inv]
-    # _jw_arrow dictionary-encodes the two gathered sides TOGETHER, so
-    # equal strings share a code even across buckets (the cross-
-    # dictionary edge the per-bucket coded packs could not give us).
-    jwt = _jw_arrow(titles_a.take(pa.array(uia)), titles_b.take(pa.array(uib)))[inv]
-    jwu = _jw_arrow(urls_a.take(pa.array(uia)), urls_b.take(pa.array(uib)))[inv]
+    lib = _nat.get_lib()
+    if lib is not None:
+        jac = np.empty(uia.size, dtype=np.float64)
+        lib.sketch_jacc_idx2(
+            _nat.ptr(mat_a, _nat._p_u64), np.int64(mat_a.shape[1]),
+            _nat.ptr(lens_a, _nat._p_i64),
+            _nat.ptr(mat_b, _nat._p_u64), np.int64(mat_b.shape[1]),
+            _nat.ptr(lens_b, _nat._p_i64),
+            _nat.ptr(uia, _nat._p_i64), _nat.ptr(uib, _nat._p_i64),
+            np.int64(uia.size), np.int64(sketch_k),
+            _nat.ptr(jac, _nat._p_f64),
+        )
+        jac = jac[inv]
+    else:
+        jac = sketch_jaccard_batch(
+            mat_a[uia], lens_a[uia], mat_b[uib], lens_b[uib], sketch_k
+        )[inv]
+    jwt = coded_jw_pair(tpack_a, tpack_b, uia, uib)[inv]
+    jwu = coded_jw_pair(upack_a, upack_b, uia, uib)[inv]
     cos = None
     if emb_weight and emb_a is not None and emb_b is not None:
         cos = np.einsum("ij,ij->i", emb_a[uia], emb_b[uib])[inv]
@@ -197,12 +276,18 @@ def score_pairs_store(
     """pairs(uid_a, uid_b) × feature store → scored pairs (same schema
     as ``scoring.score_pairs``).
 
-    Physical plan: tag each pair with its (bucket(uid_a), bucket(uid_b))
-    group key, ONE bucketed shuffle of the 16-byte pair rows, then each
-    task probes the ≤2 store buckets per group it holds (worker-local
-    LRU decode cache). Nothing feature-sized is ever shuffled.
+    Physical plan: one remote decode task per store bucket builds the
+    scoring payloads in plasma (each decoded ONCE cluster-wide); pairs
+    are tagged with their (bucket(uid_a), bucket(uid_b)) group key, ONE
+    bucketed shuffle of the 16-byte pair rows, then each task probes the
+    ≤2 payload refs per group it holds — zero-copy shared-memory views,
+    Arrow in and Arrow out (no pandas string materialization on a
+    100M-row output). Nothing feature-sized is ever shuffled.
     """
-    from .util import bucketed_map_groups, default_partitions
+    import ray
+
+    from .scoring import scored_schema
+    from .util import add_bucket, default_partitions
 
     meta = read_store_meta(store_dir)
     n_buckets = int(meta["n_buckets"])
@@ -214,6 +299,13 @@ def score_pairs_store(
         )
     n_shuffle = n_shuffle_buckets or max(default_partitions() * 4, 32)
 
+    # one decode task per bucket; refs stay in plasma until scoring ends
+    decode = ray.remote(num_cpus=1)(_decode_payload)
+    payload_refs = [
+        decode.remote(store_dir, k, sketch_k, bool(emb_weight))
+        for k in range(n_buckets)
+    ]
+
     def tag(t: pa.Table) -> pa.Table:
         ka = fs_bucket_of(t["uid_a"].to_numpy(zero_copy_only=False), n_buckets)
         kb = fs_bucket_of(t["uid_b"].to_numpy(zero_copy_only=False), n_buckets)
@@ -222,43 +314,35 @@ def score_pairs_store(
         )
 
     tagged = pairs_ds.map_batches(tag, batch_format="pyarrow")
+    out_schema = scored_schema(with_cos=bool(emb_weight))
 
-    def run_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            cols = {
-                "url_a": pd.Series([], dtype=str),
-                "url_b": pd.Series([], dtype=str),
-                "jaccard": pd.Series([], dtype=np.float64),
-                "jw_title": pd.Series([], dtype=np.float64),
-                "jw_url": pd.Series([], dtype=np.float64),
-            }
-            if emb_weight:
-                cols["cos_text"] = pd.Series([], dtype=np.float64)
-            cols["score"] = pd.Series([], dtype=np.float64)
-            cols["is_match"] = pd.Series([], dtype=bool)
-            return pd.DataFrame(cols)
+    def run_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_bucket"])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        # exact (ka, kb) groups laid out contiguously: one int sort
+        t = t.take(pc.sort_indices(t["fs_gkey"])).combine_chunks()
+        gk = t["fs_gkey"].to_numpy(zero_copy_only=False)
+        ua = t["uid_a"].to_numpy(zero_copy_only=False)
+        ub = t["uid_b"].to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(gk)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [gk.size]])
         outs = []
-        # group keys arrive pre-hashed into this shuffle bucket; iterate
-        # each exact (ka, kb) group so every probe touches ≤2 buckets
-        for gkey, g in df.groupby("fs_gkey", sort=True):
-            ka, kb = int(gkey) // n_buckets, int(gkey) % n_buckets
-            pl_a = _load_bucket(store_dir, ka, sketch_k, with_emb=bool(emb_weight))
-            pl_b = (
-                pl_a
-                if kb == ka
-                else _load_bucket(store_dir, kb, sketch_k, with_emb=bool(emb_weight))
-            )
+        for s, e in zip(starts, ends):
+            ka, kb = int(gk[s]) // n_buckets, int(gk[s]) % n_buckets
+            pl_a = _payload_from_ref(payload_refs[ka])
+            pl_b = pl_a if kb == ka else _payload_from_ref(payload_refs[kb])
             outs.append(
                 _score_group(
-                    g["uid_a"].to_numpy(),
-                    g["uid_b"].to_numpy(),
-                    pl_a,
-                    pl_b,
-                    threshold,
-                    sketch_k,
+                    ua[s:e], ub[s:e], pl_a, pl_b, threshold, sketch_k,
                     emb_weight=emb_weight,
-                ).to_pandas()
+                )
             )
-        return pd.concat(outs, ignore_index=True)
+        return pa.concat_tables(outs).combine_chunks()
 
-    return bucketed_map_groups(tagged, "fs_gkey", run_bucket, n_buckets=n_shuffle)
+    return (
+        add_bucket(tagged, "fs_gkey", n_shuffle)
+        .groupby("_bucket")
+        .map_groups(run_bucket, batch_format="pyarrow")
+    )

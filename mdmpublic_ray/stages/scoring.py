@@ -399,6 +399,41 @@ def _feat_payload(features_ref):
     return _FEAT_CACHE[key]
 
 
+def pack_string_column(col: pa.Array):
+    """Dictionary-code + u32-transcode a string column ONCE (at payload
+    build — driver for the broadcast plan, decode task for the feature
+    store) so scorer batches never touch Python strings. Returns
+    (row → dict-index codes, flat u32 codepoints, int64 offsets)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    d = pc.dictionary_encode(col)
+    flat, offs = encode_flat_u32_arrow(d.dictionary)
+    return (
+        d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+        flat,
+        offs,
+    )
+
+
+def coded_jw_pair(pack_a, pack_b, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """Jaro-Winkler between rows ``ia`` of ``pack_a`` and rows ``ib`` of
+    ``pack_b`` (both from :func:`pack_string_column`), with zero string
+    round-trips. When the packs differ the two dictionaries are merged
+    by offsetting the b-side codes — equal strings across packs then
+    hold DIFFERENT codes, so they skip the equal-code shortcut and are
+    computed the long way, which yields the same 1.0 (the native greedy
+    scan touches O(len) chars for an equal pair)."""
+    ca, fa, oa = pack_a
+    cb, fb, ob = pack_b
+    if pack_a is pack_b:
+        return jaro_winkler_coded(fa, oa, ca[ia], cb[ib])
+    flat = np.concatenate([fa, fb])
+    offs = np.concatenate([oa, oa[-1] + ob[1:]])
+    return jaro_winkler_coded(flat, offs, ca[ia], cb[ib] + (oa.size - 1))
+
+
 def _jw_arrow(a, b) -> np.ndarray:
     """Jaro-Winkler over two Arrow string arrays with ZERO Python string
     round-trips: dictionary-encode the concatenation (equal strings ⇒
@@ -556,19 +591,7 @@ def _score_broadcast(pairs_ds, features_ds, threshold: float, sketch_k: int,
         sk.buffers()[1], dtype=np.uint64, count=len(sk) * sketch_k,
         offset=sk.offset * sketch_k * 8,
     ).reshape(len(sk), sketch_k)
-    def _pack(col: pa.Array):
-        """Dictionary-code + u32-transcode a string column ONCE (driver
-        side, per run) so scorer batches never touch Python strings."""
-        if col.null_count:
-            col = pc.fill_null(col, "")
-        d = pc.dictionary_encode(col)
-        flat, offs = encode_flat_u32_arrow(d.dictionary)
-        return (
-            d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
-            flat,
-            offs,
-        )
-
+    _pack = pack_string_column
     urls_arr = tbl["url"].combine_chunks()
     emb_mat = _emb_matrix_from_binary(tbl["emb"]) if emb_weight else None
     ref = ray.put(
