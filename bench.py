@@ -749,6 +749,15 @@ def _chaos() -> None:
     ray.shutdown()
 
 
+def _path_bytes(p: str) -> int:
+    """File size, or the summed size of a directory of part files."""
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+        )
+    return os.path.getsize(p)
+
+
 def _soak() -> None:
     """BASELINE.md §5 soak protocol, reproducible: flagship ER over a
     ~1.01M-page corpus, checkpointed (the documented mode at this scale —
@@ -779,13 +788,22 @@ def _soak() -> None:
 
     base = os.environ.get("GRAFT_SCALING_DIR", "/tmp/graft_scaling_corpus")
     n_clusters = int(os.environ.get("GRAFT_SOAK_CLUSTERS", "200000"))
-    d = os.path.join(base, f"n{n_clusters}")
+    # GRAFT_SOAK_FILES=N: the multi-file parity leg — same seed, same
+    # rows, pages written as N part files (the real many-file input
+    # layout); outputs must equal the single-file run's.
+    n_files = int(os.environ.get("GRAFT_SOAK_FILES", "1"))
+    d = os.path.join(base, f"n{n_clusters}" + (f"_f{n_files}" if n_files > 1 else ""))
     marker = os.path.join(d, "pages.ok")
     if not os.path.exists(marker):
-        write_corpus(d, n_clusters=n_clusters, seed=42, doc_tokens=(300, 800))
+        write_corpus(
+            d, n_clusters=n_clusters, seed=42, doc_tokens=(300, 800),
+            n_files=n_files,
+        )
         with open(marker, "w") as f:
             f.write("ok")
-    pages_path = os.path.join(d, "pages.parquet")
+    pages_path = (
+        os.path.join(d, "pages") if n_files > 1 else os.path.join(d, "pages.parquet")
+    )
     pages = rd.read_parquet(pages_path)
     n_pages = pages.count()  # warms the page cache
     ck = tempfile.mkdtemp(prefix="bench_soak_ck_")
@@ -798,6 +816,12 @@ def _soak() -> None:
         n_golden = out["golden"].count()
         wall = time.monotonic() - t0
         m = pairwise_metrics(out["clusters"], rd.read_parquet(os.path.join(d, "labels.parquet")))
+        # GRAFT_SOAK_DIGEST=1: order-insensitive content digests of the
+        # final outputs, for plan-equality evidence (forced-store /
+        # forced-distributed-CC / multi-file legs vs the default run)
+        digests = (
+            _golden_digest(out) if os.environ.get("GRAFT_SOAK_DIGEST") else None
+        )
         stage_walls = {}
         run_dir = os.path.join(ck, "soak")
         if os.path.isdir(run_dir):
@@ -815,13 +839,15 @@ def _soak() -> None:
                     "unit": "sec",
                     "num_cpus": ncpu,
                     "pages": n_pages,
-                    "input_mb": round(os.path.getsize(pages_path) / 1e6, 1),
+                    "input_mb": round(_path_bytes(pages_path) / 1e6, 1),
+                    "n_input_files": n_files,
                     "pairs_scored": n_scored,
                     "golden": n_golden,
                     "rows_per_sec": round(n_pages / wall, 1),
                     "pairs_per_sec": round(n_scored / wall, 1),
                     "stage_wall_sec": stage_walls,
                     "pairwise": m,
+                    **({"digests": digests} if digests else {}),
                 }
             )
         )

@@ -251,7 +251,7 @@ def generate_pages(
     return pages, truth, labels
 
 
-def write_corpus(out_dir: str, **kw) -> dict[str, str]:
+def write_corpus(out_dir: str, *, n_files: int = 1, **kw) -> dict[str, str]:
     """Materialize the corpus as parquet files; returns path map.
 
     Row groups are bounded at 8192 rows: Ray's parquet reader splits a
@@ -261,6 +261,12 @@ def write_corpus(out_dir: str, **kw) -> dict[str, str]:
     434 MB file that 32 row groups scan in <1 s. Real 100 TB inputs are
     many files; bounded row groups make the single-file test corpora
     behave the same way.
+
+    ``n_files > 1`` writes the pages table as a DIRECTORY of that many
+    part files instead (``pages/part-NNNNN.parquet``; the path map then
+    points at the directory, which ``read_parquet`` accepts unchanged) —
+    the layout a real many-file 100-TB input has, used by the soak
+    protocol's multi-file parity leg (round-4 verdict item #8).
     """
     import os
 
@@ -270,6 +276,21 @@ def write_corpus(out_dir: str, **kw) -> dict[str, str]:
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
     for name, tbl in (("pages", pages), ("truth", truth), ("labels", labels)):
+        if name == "pages" and n_files > 1:
+            d = os.path.join(out_dir, "pages")
+            os.makedirs(d, exist_ok=True)
+            step = -(-tbl.num_rows // n_files)
+            for i in range(n_files):
+                sl = tbl.slice(i * step, step)
+                if sl.num_rows == 0:
+                    break
+                pq.write_table(
+                    sl,
+                    os.path.join(d, f"part-{i:05d}.parquet"),
+                    row_group_size=8192,
+                )
+            paths[name] = d
+            continue
         p = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(tbl, p, row_group_size=8192)
         paths[name] = p

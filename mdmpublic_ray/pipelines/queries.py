@@ -4159,6 +4159,84 @@ FROM marked GROUP BY doc_id
 """
 
 
+def q_docs_top_tokens_mg_exact(sf_dir: str):
+    """DRIVER-CERTIFIABLE Misra-Gries variant (the restricted-oracle
+    move that certified the ANN family in round 4, applied to the
+    heavy-hitter sketch): the token stream is restricted to tokens of
+    ≤ 4 chars, and the exactness certificate is CHECKED AT RUNTIME —
+    a Misra-Gries summary whose distinct-key count never reaches
+    capacity performs NO decrement at any fold, merge or trim, so the
+    total tracked error is 0 iff every surviving counter is exact; the
+    query asserts err == 0 and raises loudly otherwise (the
+    collision-guard pattern), so a corpus whose restricted vocabulary
+    outgrows the 4,096 capacity can never silently hash-mismatch. The
+    tracked error bound is therefore 0 by assertion — the full sketch machinery
+    runs (per-batch folds, sentinel error rows, Metwally merge, final
+    trim) and DuckDB states the result as a plain GROUP BY. The
+    unrestricted entry (``docs_top_tokens_mg``) keeps the real
+    vocabulary and its tracked bound; this one certifies the machinery
+    end-to-end in the driver's equality protocol."""
+    from ..functions.heavyhitters import mg_fold, mg_merge, mg_topk
+
+    CAP = 4096
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
+        toks = toks[toks.str.len() <= 4]
+        counts, err = mg_fold(toks, CAP)
+        return pd.DataFrame(
+            {
+                "token": list(counts.keys()) + [""],
+                "n": np.concatenate(
+                    [
+                        np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+                        np.array([err], dtype=np.int64),
+                    ]
+                ),
+            }
+        )
+
+    parts = ds.map_batches(fold, batch_format="pandas").to_pandas()
+    empty = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            "n_est": pa.array([], pa.int64()),
+            "err_bound": pa.array([], pa.int64()),
+        }
+    )
+    if parts.empty:
+        return empty
+    sentinel = parts["token"] == ""
+    batch_err = int(parts.loc[sentinel, "n"].sum())
+    g = parts[~sentinel].groupby("token", sort=False)["n"].sum()
+    summary = mg_merge([(g.to_dict(), batch_err)], CAP)
+    if summary[1] != 0:
+        raise AssertionError(
+            "restricted Misra-Gries decremented — the ≤4-char restricted "
+            "vocabulary outgrew the 4,096 capacity on this corpus; the "
+            "exactness certificate no longer holds (tighten the "
+            "restriction or raise CAP)"
+        )
+    top = mg_topk(summary, _TOP_TOKENS_K)
+    return pa.table(
+        {
+            "token": pa.array([t for t, _, _ in top], pa.string()),
+            "n_est": pa.array([c for _, c, _ in top], pa.int64()),
+            "err_bound": pa.array([e for _, _, e in top], pa.int64()),
+        }
+    )
+
+
+SQL_DOCS_TOP_TOKENS_MG_EXACT = f"""
+SELECT tok AS token, COUNT(*) AS n_est, CAST(0 AS BIGINT) AS err_bound
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents)
+WHERE len(tok) <= 4
+GROUP BY tok ORDER BY n_est DESC, tok LIMIT {_TOP_TOKENS_K}
+"""
+
+
 def q_docs_len_quantiles_mrl(sf_dir: str):
     """MRL quantile summary (functions/mrl.py) — the bounded-memory
     scale path for ``docs_len_quantiles`` (its exact, oracle-checked
@@ -4196,6 +4274,76 @@ def q_docs_len_quantiles_mrl(sf_dir: str):
             "n_chars_est": pa.array(vals.astype(np.int64), pa.int64()),
         }
     )
+
+
+_MRL_EXACT_MAX_ROWS = 250
+
+
+def q_docs_len_quantiles_mrl_exact(sf_dir: str):
+    """DRIVER-CERTIFIABLE MRL variant (same restricted-oracle move as
+    ``docs_top_tokens_mg_exact``): the input is restricted to
+    ``doc_id < 250`` rows — at most 250 values, under the per-level
+    capacity K = 256, so NO collapse ever fires (collapse requires a
+    level to EXCEED K): every element keeps weight 1 and the weighted
+    rank selection degenerates to exact floor((n-1)·q) rank selection,
+    the same convention as the exact oracle. The full sketch machinery
+    runs (per-batch builds, Arrow row shipping, driver-side level-wise
+    merge cascade, weighted selection) and DuckDB states the result
+    with the standard rank-selection SQL. The unrestricted entry
+    (``docs_len_quantiles_mrl``) keeps the full corpus and its tested
+    rank-error bound."""
+    from ..functions.mrl import (
+        mrl_build,
+        mrl_from_rows,
+        mrl_merge,
+        mrl_quantiles,
+        mrl_to_rows,
+    )
+
+    K = 256
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"]).filter(
+        lambda r: r["doc_id"] < _MRL_EXACT_MAX_ROWS
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        s = mrl_build(t["n_chars"].to_numpy(zero_copy_only=False), K)
+        lv, vals = mrl_to_rows(s)
+        return pa.table(
+            {"level": pa.array(lv, pa.int64()), "value": pa.array(vals, pa.float64())}
+        )
+
+    parts = ds.map_batches(fold, batch_format="pyarrow").to_pandas()
+    # the exactness certificate, machine-checked: no batch collapsed
+    # (all summary elements still at level 0 / weight 1) and the merged
+    # level-0 buffer cannot exceed K either
+    if len(parts) > K or (len(parts) and (parts["level"] != 0).any()):
+        raise AssertionError(
+            f"restricted MRL collapsed ({len(parts)} summary rows, "
+            f"max level {int(parts['level'].max())}) — the doc_id < "
+            f"{_MRL_EXACT_MAX_ROWS} restriction no longer bounds the "
+            f"input under K={K}; tighten the restriction"
+        )
+    s = mrl_from_rows(parts["level"].to_numpy(), parts["value"].to_numpy())
+    s = mrl_merge(s, mrl_build([], K), K)
+    qs = [float(q) for q in _QUANTILE_QS]
+    vals = mrl_quantiles(s, qs)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "n_chars_est": pa.array(vals.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_DOCS_LEN_QUANTILES_MRL_EXACT = f"""
+WITH r AS (SELECT n_chars FROM documents WHERE doc_id < {_MRL_EXACT_MAX_ROWS}),
+s AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) - 1 AS rr,
+             COUNT(*) OVER () AS c
+      FROM r)
+SELECT CAST(q AS DOUBLE) AS q, CAST(n_chars AS BIGINT) AS n_chars_est
+FROM s JOIN (VALUES ({'),('.join(_QUANTILE_QS)})) v(q)
+  ON s.rr = CAST(floor((s.c - 1) * q) AS BIGINT)
+"""
 
 
 def q_docs_len_quantiles(sf_dir: str):
@@ -4798,7 +4946,12 @@ def q_docs_strip_dup_spans(sf_dir: str):
 
 
 QUERIES = {
-    # --- NEW in round 4 (driver window = first ~50 entries) ---
+    # --- NEW in round 5 (driver window = first ~50 entries): the two
+    # remaining sketches, driver-certified via provably-restricted
+    # variants (alphabet-bounded MG vocabulary / collapse-free MRL) ---
+    "docs_top_tokens_mg_exact": q_docs_top_tokens_mg_exact,
+    "docs_len_quantiles_mrl_exact": q_docs_len_quantiles_mrl_exact,
+    # --- NEW in round 4 ---
     "er_clusters_emb_oracle": q_er_clusters_emb_oracle,
     "er_golden_emb_oracle": q_er_golden_emb_oracle,
     "knn_cosine_lsh": q_knn_cosine_lsh,
@@ -4847,10 +5000,13 @@ QUERIES = {
     "docs_domain_cap": q_docs_domain_cap,
     "docs_chunks": q_docs_chunks,
     "docs_chunk_dedup": q_docs_chunk_dedup,
-    # --- rows-only pipelines, not yet driver-listed ---
+    # --- rows-only pipelines (each has a driver-certified restricted
+    # counterpart above and/or a bound-asserting pytest; the raw
+    # docs_simhash fingerprint entry was retired in round 5 — its
+    # values are certified through docs_simhash_clusters, which runs
+    # the same simhash_text_batch kernel) ---
     "docs_top_tokens_mg": q_docs_top_tokens_mg,
     "docs_len_quantiles_mrl": q_docs_len_quantiles_mrl,
-    "docs_simhash": q_docs_simhash,
     "knn_cosine_lsh_full": q_knn_cosine_lsh_full,
     "knn_cosine_ivf_full": q_knn_cosine_ivf_full,
     "docs_simhash_clusters_full": q_docs_simhash_clusters_full,
@@ -4924,6 +5080,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "docs_top_tokens_mg_exact": SQL_DOCS_TOP_TOKENS_MG_EXACT,
+    "docs_len_quantiles_mrl_exact": SQL_DOCS_LEN_QUANTILES_MRL_EXACT,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "docs_chunk_dedup": SQL_DOCS_CHUNK_DEDUP,
     "pricing_summary": SQL_PRICING,

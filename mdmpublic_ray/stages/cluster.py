@@ -46,7 +46,18 @@ INT_CC_MAX_EDGES = 100_000_000
 def _default_cc_caps() -> tuple[int, int, int]:
     """(local_threshold, int_cc_max_nodes, int_cc_max_edges) scaled to
     the driver node's memory; 128 GiB reproduces the historical
-    constants (round-3 review item #8)."""
+    constants (round-3 review item #8).
+
+    ``GRAFT_FORCE_DISTRIBUTED_CC=1`` zeroes all three — an ops/bench
+    hook that routes clustering through the web-scale distributed
+    min-label rounds regardless of graph size, so the 100-TB plan can
+    be soaked on corpora the local/medium plans would otherwise take
+    (results are asserted plan-invariant in tests/test_er_pipeline.py
+    and digest-compared at soak scale in BASELINE.md)."""
+    import os
+
+    if os.environ.get("GRAFT_FORCE_DISTRIBUTED_CC"):
+        return (0, 0, 0)
     from .util import memory_scaled_cap
 
     return (

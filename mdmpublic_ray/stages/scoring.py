@@ -163,7 +163,15 @@ BROADCAST_FEATURES_THRESHOLD = 6_000_000
 
 
 def broadcast_features_rows() -> int:
-    """Memory-scaled effective broadcast cap (see constant above)."""
+    """Memory-scaled effective broadcast cap (see constant above).
+
+    ``GRAFT_FORCE_STORE_SCORING=1`` returns 0 — an ops/bench hook that
+    forces the beyond-broadcast plan so the 100-TB path can be soaked
+    on corpora that would otherwise take the broadcast fast path."""
+    import os
+
+    if os.environ.get("GRAFT_FORCE_STORE_SCORING"):
+        return 0
     from .util import memory_scaled_cap
 
     return memory_scaled_cap(BROADCAST_FEATURES_THRESHOLD, lo=100_000)

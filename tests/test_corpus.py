@@ -67,3 +67,26 @@ def test_pages_from_documents_deterministic_and_extractable():
     assert t1.num_rows > 500  # expansion happened
     for html, text in zip(t1["html"].to_pylist()[:50], t1["text"].to_pylist()[:50]):
         assert extract_text(html) == text
+
+
+def test_write_corpus_multi_file_layout_equal_rows(tmp_path):
+    """n_files > 1 writes pages as a directory of part files holding the
+    SAME rows as the single-file layout (the soak's multi-file parity
+    leg reads it through the identical read_parquet call)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mdmpublic_ray.corpus import write_corpus
+
+    single = write_corpus(str(tmp_path / "s"), n_clusters=20, seed=7)
+    multi = write_corpus(str(tmp_path / "m"), n_clusters=20, seed=7, n_files=8)
+    assert os.path.isdir(multi["pages"])
+    parts = sorted(os.listdir(multi["pages"]))
+    assert len(parts) == 8 and all(p.endswith(".parquet") for p in parts)
+    a = pq.read_table(single["pages"]).to_pandas()
+    b = pq.read_table(multi["pages"]).to_pandas()
+    key = ["url", "warc_ts"]
+    a = a.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = b.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert a.equals(b)

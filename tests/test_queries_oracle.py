@@ -73,7 +73,6 @@ def test_query_matches_oracle(name, ray_session):
 @pytest.mark.parametrize(
     "name",
     [
-        "docs_simhash",
         "docs_simhash_clusters_full",
         "docs_minhash_clusters_full",
         "pages_media_features",
