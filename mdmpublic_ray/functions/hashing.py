@@ -150,6 +150,29 @@ def fast_u64(s: str | bytes) -> int:
     return int(hash_utf8_flat(data, np.array([0, len(s)], dtype=np.int64))[0])
 
 
+def hash_string_column(col) -> np.ndarray:
+    """uint64 ``hash_utf8_flat`` of every row of an Arrow string column,
+    straight off the column's own (offsets, values) buffers — zero
+    per-row Python. Bit-identical to ``fast_u64`` row-by-row. Nulls are
+    not supported (callers hash key columns, which are never null)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_string(col.type):
+        col = col.cast(pa.string())
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if col.null_count:
+        raise ValueError("hash_string_column: null keys are not supported")
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return hash_utf8_flat(data, offs)
+
+
 def _combine_fixed_windows(th: np.ndarray, ws: np.ndarray, k: int) -> np.ndarray:
     """Polynomial combine of ``th[ws[j] : ws[j]+k]`` windows → uint64."""
     acc = th[ws].copy()

@@ -251,33 +251,44 @@ def dedup_winner_split(
     of the single-box floor F in BASELINE.md §3/§5)."""
     import pyarrow.compute as pc
 
+    from ..functions.hashing import hash_string_column
     from .util import bucketed_map_groups, pruned_scan
 
-    def winner_partial(df: pd.DataFrame) -> pd.DataFrame:
-        mx = df.groupby(key, sort=False)[ts_col].max().rename("_mx")
-        j = df[[key, ts_col]].merge(mx, left_on=key, right_index=True)
-        n = j[j[ts_col] == j["_mx"]].groupby(key, sort=False).size()
-        return pd.DataFrame(
-            {key: mx.index, "_mx": mx.to_numpy(),
+    # The winner machinery is keyed on the vectorized 64-bit url hash
+    # (``hash_utf8_flat`` off the Arrow buffers), NOT url strings: at the
+    # 4M-page soak the string-keyed version spent ~12 s in a
+    # driver-SERIAL pandas string combine plus ~7 s of per-worker string
+    # hash-index builds and per-batch string probes; int64 keys make the
+    # combine a C-speed groupby and the per-batch probe one searchsorted.
+    # Collision posture: identical to the engine-wide ``doc_uid``
+    # identity (64-bit url hashes key blocking, pairs, scoring and the
+    # feature store) — ~n²/2⁶⁴, nil at sandbox scale, two int64 columns
+    # at a 10^12-document deployment.
+    def winner_partial_arrow(t: pa.Table) -> pa.Table:
+        uh = hash_string_column(t[key]).view(np.int64)
+        df = pd.DataFrame(
+            {"_uh": uh, "_ts": t[ts_col].to_numpy(zero_copy_only=False)}
+        )
+        mx = df.groupby("_uh", sort=False)["_ts"].max().rename("_mx")
+        j = df.merge(mx, left_on="_uh", right_index=True)
+        n = j[j["_ts"] == j["_mx"]].groupby("_uh", sort=False).size()
+        out = pd.DataFrame(
+            {"_uh": mx.index, "_mx": mx.to_numpy(),
              "_n_at": n.reindex(mx.index).to_numpy().astype("int64")}
         )
+        # arrow-out so the materialized blocks pull zero-copy via
+        # to_arrow_refs (pandas blocks would convert at pull time)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def winner_final(df: pd.DataFrame) -> pd.DataFrame:
         # combine partials: the true max across batches; counts only
         # from partials that saw that max
-        mx = df.groupby(key, sort=False)["_mx"].max().rename("_tmx")
-        j = df.merge(mx, left_on=key, right_index=True)
-        n = j[j["_mx"] == j["_tmx"]].groupby(key, sort=False)["_n_at"].sum()
+        mx = df.groupby("_uh", sort=False)["_mx"].max().rename("_tmx")
+        j = df.merge(mx, left_on="_uh", right_index=True)
+        n = j[j["_mx"] == j["_tmx"]].groupby("_uh", sort=False)["_n_at"].sum()
         return pd.DataFrame(
-            {key: mx.index, "_mx": mx.to_numpy(),
+            {"_uh": mx.index, "_mx": mx.to_numpy(),
              "_n_at": n.reindex(mx.index).to_numpy().astype("int64")}
-        )
-
-    def winner_partial_arrow(t: pa.Table) -> pa.Table:
-        # arrow-out so the materialized blocks pull zero-copy via
-        # to_arrow_refs (pandas blocks would convert at pull time)
-        return pa.Table.from_pandas(
-            winner_partial(t.to_pandas()), preserve_index=False
         )
 
     partials = pruned_scan(ds, [key, ts_col]).map_batches(
@@ -311,7 +322,7 @@ def dedup_winner_split(
         # key set may still fit the broadcast budget — the classic
         # keys-only bucketed shuffle computes the winner table.
         winners = bucketed_map_groups(
-            partials, key, winner_final, n_buckets=n_buckets
+            partials, "_uh", winner_final, n_buckets=n_buckets
         ).materialize()
         n_keys = winners.count()
         if not (0 < n_keys <= winner_broadcast_rows):
@@ -325,52 +336,58 @@ def dedup_winner_split(
 
     import ray
 
-    wt = pa.Table.from_pandas(comb, preserve_index=False).combine_chunks()
-    wt = wt.take(pc.sort_indices(wt[key]))
-    multi = wt.filter(pc.greater(wt["_n_at"], 1))[key].combine_chunks()
+    # sorted int64 broadcast payload: per-batch lookup is ONE
+    # searchsorted — no per-worker hash-index build at all (the 4M soak
+    # paid ~7 s of per-worker pandas string-index builds + string
+    # probes under the previous string-keyed payload)
+    order = np.argsort(comb["_uh"].to_numpy(), kind="stable")
+    uh_sorted = comb["_uh"].to_numpy()[order]
+    mx_sorted = comb["_mx"].to_numpy()[order]
+    multi_uh = np.sort(
+        comb["_uh"].to_numpy()[comb["_n_at"].to_numpy() > 1]
+    )
     wref = ray.put(
-        (wt[key].combine_chunks(), wt["_mx"].combine_chunks(),
-         multi if len(multi) else None)
+        (uh_sorted, mx_sorted, multi_uh if multi_uh.size else None)
     )
 
-    def keep_winners(t: pa.Table) -> pa.Table:
+    def _probe(t: pa.Table):
         import ray as _ray
 
         k = wref.hex()
         if k not in _WINNER_CACHE:
             _WINNER_CACHE.clear()
-            keys_arr, mxs, multi_arr = _ray.get(wref)
-            # hash index built ONCE per worker: pc.index_in
-            # rebuilds the value_set hash table on EVERY call,
-            # which at soak scale (800k+ urls) costs more than
-            # the filter itself
-            winner_ts = pd.Series(
-                mxs.to_numpy(zero_copy_only=False),
-                index=pd.Index(keys_arr.to_pandas()),
+            _WINNER_CACHE[k] = _ray.get(wref)
+        uids, mxs, multi_arr = _WINNER_CACHE[k]
+        uh = hash_string_column(t[key]).view(np.int64)
+        pos = np.searchsorted(uids, uh)
+        np.clip(pos, 0, max(uids.size - 1, 0), out=pos)
+        if uids.size == 0 or not np.array_equal(uids[pos], uh):
+            # every key was just seen by the keys pass over the same
+            # dataset — a miss means the two passes saw different data
+            raise ValueError(
+                "dedup winner probe miss: key absent from the winner "
+                "table — input changed between the keys and filter passes"
             )
-            multi_idx = (
-                pd.Index(multi_arr.to_pandas())
-                if multi_arr is not None
-                else None
-            )
-            _WINNER_CACHE[k] = (winner_ts, multi_idx)
-        winner_ts, multi_idx = _WINNER_CACHE[k]
-        urls = t[key].to_pandas()
-        wts = winner_ts.reindex(urls).to_numpy()
-        m = t[ts_col].to_numpy(zero_copy_only=False) == wts
-        if multi_idx is not None:
-            m &= multi_idx.get_indexer(urls) < 0
+        return uh, pos, mxs, multi_arr
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        uh, pos, mxs, multi_arr = _probe(t)
+        m = t[ts_col].to_numpy(zero_copy_only=False) == mxs[pos]
+        if multi_arr is not None:
+            mp = np.searchsorted(multi_arr, uh)
+            np.clip(mp, 0, multi_arr.size - 1, out=mp)
+            m &= multi_arr[mp] != uh
         return t.filter(pa.array(m))
 
     kept = ds.map_batches(keep_winners, batch_format="pyarrow")
-    if len(multi) == 0:
+    if multi_uh.size == 0:
         return kept, None
-    multi_ref = ray.put(multi)
 
     def only_multi(t: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        return t.filter(pc.is_in(t[key], value_set=_ray.get(multi_ref)))
+        uh, pos, mxs, multi_arr = _probe(t)
+        mp = np.searchsorted(multi_arr, uh)
+        np.clip(mp, 0, multi_arr.size - 1, out=mp)
+        return t.filter(pa.array(multi_arr[mp] == uh))
 
     tied = ds.map_batches(only_multi, batch_format="pyarrow")
     return kept, tied

@@ -91,9 +91,9 @@ def golden_records(
             [b for b in ray.get(_m.to_arrow_refs()) if b.num_rows]
         ).combine_chunks()
         # purl must be unique (pages_ds is the POST-dedup table): a
-        # duplicate would make pd.Index.get_indexer raise an opaque
-        # InvalidIndexError inside a worker — and means the dedup
-        # invariant broke upstream. Fail here with a usable message.
+        # duplicate means the dedup invariant broke upstream and the
+        # attach below would fetch an arbitrary duplicate's fields.
+        # Fail here with a usable message.
         n_dup = len(tbl) - pa.compute.count_distinct(tbl["purl"]).as_py()
         if n_dup:
             raise ValueError(
@@ -101,38 +101,51 @@ def golden_records(
                 "duplicate url(s) — input must be the deduplicated pages "
                 "stage (one row per url)"
             )
+        # int64-hash payload, pre-sorted (same treatment as the dedup
+        # winner table): the previous per-worker pandas STRING index
+        # cost ~3-4 s/worker to build at 3.2M urls plus string-hash
+        # probes per batch — golden was 9.7× superlinear 1M → 4M.
+        # Per-batch lookup is now hash + ONE searchsorted. Collision
+        # posture = engine-wide doc_uid identity (n²/2⁶⁴).
+        from ..functions.hashing import hash_string_column
+
+        uh = hash_string_column(tbl["purl"]).view(np.int64)
+        order = pa.array(np.argsort(uh, kind="stable"))
         ref = ray.put(
             (
-                tbl["purl"].combine_chunks(),
-                tbl["warc_ts"].combine_chunks(),
-                tbl["lang"].combine_chunks(),
-                tbl["text_len"].combine_chunks(),
+                np.sort(uh, kind="stable"),
+                tbl["warc_ts"].combine_chunks().take(order),
+                tbl["lang"].combine_chunks().take(order),
+                tbl["text_len"].combine_chunks().take(order),
             )
         )
 
         def attach(t: pa.Table) -> pa.Table:
             import ray as _ray
 
-            # per-worker cached hash index (round-4 fix): pc.index_in
-            # rebuilds its value_set hash table PER BATCH — at the 4M-page
-            # soak that was 504 s of a 967 s wall. The pandas Index is
-            # built once per worker per broadcast ref and probed per
-            # batch (same _LBL_CACHE pattern as cluster.py).
+            from ..functions.hashing import hash_string_column as _hsc
+
             key = ("golden", ref.hex())
             cached = _GOLD_CACHE.get(key)
             if cached is None:
-                purl, ts, lg, tl = _ray.get(ref)
-                cached = (pd.Index(purl.to_pandas()), ts, lg, tl)
+                cached = _ray.get(ref)
                 _GOLD_CACHE.clear()
                 _GOLD_CACHE[key] = cached
-            pidx, ts, lg, tl = cached
-            raw = pidx.get_indexer(t["url"].to_pandas())
+            uids, ts, lg, tl = cached
+            th = _hsc(t["url"]).view(np.int64)
+            raw = np.searchsorted(uids, th)
+            np.clip(raw, 0, max(uids.size - 1, 0), out=raw)
             # exact-coverage invariant (round-4 advice): every cluster
             # member must exist in the pages payload — a miss previously
             # surfaced as ArrowIndexError from take(-1) (or as silently
             # dropped rows on the join plan). Name the missing urls.
-            if (raw < 0).any():
-                miss = t["url"].to_pandas()[raw < 0].head(5).tolist()
+            if uids.size == 0 or not np.array_equal(uids[raw], th):
+                bad = (
+                    np.ones(th.size, dtype=bool)
+                    if uids.size == 0
+                    else (uids[raw] != th)
+                )
+                miss = t["url"].to_pandas()[bad].head(5).tolist()
                 raise ValueError(
                     "golden_records broadcast: cluster member url(s) "
                     f"missing from the pages table, e.g. {miss} — "
