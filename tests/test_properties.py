@@ -305,3 +305,27 @@ def test_fixed_u32_matrix_buffer_path_and_slices():
     assert np.array_equal(fixed_u32_matrix(arr.slice(2, 3)), rows[2:5])
     chunked = pa.chunked_array([arr.slice(0, 2), arr.slice(2, 4)])
     assert np.array_equal(fixed_u32_matrix(chunked), rows)
+
+
+def test_hash_string_column_bit_identical_to_scalar():
+    """hash_string_column (Arrow-buffer batch kernel keying the dedup
+    winner and golden attach machinery) is bit-identical to fast_u64
+    row-by-row, including empty strings, slices and large_string."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mdmpublic_ray.functions.hashing import fast_u64, hash_string_column
+
+    vals = ["", "a", "http://h0.example.com/p/1", "ünïcode-path/χ", "x" * 300]
+    arr = pa.array(vals, pa.string())
+    got = hash_string_column(arr)
+    want = np.array([fast_u64(s) for s in vals], dtype=np.uint64)
+    assert np.array_equal(got, want)
+    # sliced array (non-zero offset) and large_string agree
+    assert np.array_equal(hash_string_column(arr.slice(2, 2)), want[2:4])
+    assert np.array_equal(
+        hash_string_column(pa.array(vals, pa.large_string())), want
+    )
+    # chunked input
+    ch = pa.chunked_array([vals[:2], vals[2:]], pa.string())
+    assert np.array_equal(hash_string_column(ch), want)
