@@ -81,6 +81,7 @@ def sorted_window_pairs(
     window: int,
     out_a: str = "id_a",
     out_b: str = "id_b",
+    local_rows: int | None = None,
 ):
     """SNM candidate pairs: all (id_i, id_j) with rank(j) - rank(i) in
     [1, window-1] under the total order ``sort_cols`` (which must end in
@@ -91,6 +92,49 @@ def sorted_window_pairs(
     if window < 2:
         raise ValueError("window must be >= 2")
     w1 = window - 1
+    # Size-aware plan (round-4 verdict #6 — the bench drift was Ray's
+    # ~1 s fixed sort-shuffle latency on a 5k-row table): when the
+    # (sort key, id) projection is driver-sized, sort locally and emit
+    # the pair set in one vectorized pass — identical pairs, no
+    # exchange. The distributed range-partitioned sort remains the
+    # big-input plan.
+    from .util import memory_scaled_cap
+
+    if local_rows is None:
+        local_rows = memory_scaled_cap(2_000_000, lo=100_000)
+    try:
+        n_rows = ds.count()
+    except Exception:
+        n_rows = None
+    if n_rows is not None and n_rows <= local_rows:
+        import pyarrow.compute as pc
+
+        cols = list(dict.fromkeys([*sort_cols, id_col]))
+        tbl = pa.concat_tables(
+            [
+                b
+                for b in ray.get(
+                    ds.select_columns(cols).materialize().to_arrow_refs()
+                )
+                if b.num_rows
+            ]
+        ).combine_chunks()
+        idx = pc.sort_indices(
+            tbl, sort_keys=[(c, "ascending") for c in sort_cols]
+        )
+        ids = (
+            tbl[id_col].take(idx).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        outs_a, outs_b = [], []
+        for d in range(1, min(window, max(ids.size, 1))):
+            if ids.size > d:
+                outs_a.append(ids[:-d])
+                outs_b.append(ids[d:])
+        a = np.concatenate(outs_a) if outs_a else np.empty(0, np.int64)
+        b = np.concatenate(outs_b) if outs_b else np.empty(0, np.int64)
+        return ray.data.from_arrow(
+            pa.table({out_a: pa.array(a), out_b: pa.array(b)})
+        )
     refs = ds.sort(sort_cols).to_arrow_refs()
     empty = pa.table(
         {out_a: pa.array([], type=pa.int64()), out_b: pa.array([], type=pa.int64())}

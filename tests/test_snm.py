@@ -20,9 +20,13 @@ def brute_pairs(keys: np.ndarray, ids: np.ndarray, window: int) -> set:
     return out
 
 
-def got_pairs(ds, window: int) -> set:
+def got_pairs(ds, window: int, local_rows=0) -> set:
+    # local_rows=0 forces the distributed sort + running-tail plan (the
+    # web-scale path); the size-aware local plan is asserted equal in
+    # test_local_plan_equals_distributed
     res = sorted_window_pairs(
-        ds, sort_cols=["k", "id"], id_col="id", window=window
+        ds, sort_cols=["k", "id"], id_col="id", window=window,
+        local_rows=local_rows,
     ).to_pandas()
     if res.empty:  # zero-row Ray datasets drop their schema via to_pandas
         return set()
@@ -55,3 +59,16 @@ def test_tiny_and_invalid(ray_session):
     assert got_pairs(one, 4) == set()
     with pytest.raises(ValueError):
         sorted_window_pairs(one, sort_cols=["k", "id"], id_col="id", window=1)
+
+
+def test_local_plan_equals_distributed(ray_session):
+    """The round-5 size-aware LOCAL plan (driver sort, zero exchange)
+    emits the identical pair SET as the distributed range-sort +
+    running-tail plan."""
+    rng = np.random.default_rng(11)
+    ids = np.arange(300, dtype=np.int64)
+    keys = rng.integers(0, 50, size=300).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"id": ids, "k": keys})).repartition(5)
+    dist = got_pairs(ds, 5, local_rows=0)
+    loc = got_pairs(ds, 5, local_rows=10_000)
+    assert loc == dist == brute_pairs(keys, ids, 5)
