@@ -5000,25 +5000,6 @@ QUERIES = {
     "docs_domain_cap": q_docs_domain_cap,
     "docs_chunks": q_docs_chunks,
     "docs_chunk_dedup": q_docs_chunk_dedup,
-    # --- rows-only pipelines (each has a driver-certified restricted
-    # counterpart above and/or a bound-asserting pytest; the raw
-    # docs_simhash fingerprint entry was retired in round 5 — its
-    # values are certified through docs_simhash_clusters, which runs
-    # the same simhash_text_batch kernel) ---
-    "docs_top_tokens_mg": q_docs_top_tokens_mg,
-    "docs_len_quantiles_mrl": q_docs_len_quantiles_mrl,
-    "knn_cosine_lsh_full": q_knn_cosine_lsh_full,
-    "knn_cosine_ivf_full": q_knn_cosine_ivf_full,
-    "docs_simhash_clusters_full": q_docs_simhash_clusters_full,
-    "docs_minhash_clusters_full": q_docs_minhash_clusters_full,
-    "er_clusters": q_er_clusters,
-    "er_golden": q_er_golden,
-    "er_blocking_metrics": q_er_blocking_metrics,
-    "er_incremental": q_er_incremental,
-    "pages_media_features": q_pages_media_features,
-    "docs_cdc_dedup": q_docs_cdc_dedup,
-    "docs_strip_dup_spans": q_docs_strip_dup_spans,
-    "embeddings_kmeans": q_embeddings_kmeans,
     # --- already driver-certified (green rows in CORRECTNESS_r02.json) ---
     "pricing_summary": q_pricing_summary,
     "filter_project_lineitem": q_filter_project_lineitem,
@@ -5077,6 +5058,25 @@ QUERIES = {
     "pages_image_dedup": q_pages_image_dedup,
     "embeddings_neardup_lsh": q_embeddings_neardup_lsh,
     "embeddings_semdedup": q_embeddings_semdedup,
+    # --- rows-only pipelines (each has a driver-certified restricted
+    # counterpart above and/or a bound-asserting pytest; the raw
+    # docs_simhash fingerprint entry was retired in round 5 — its
+    # values are certified through docs_simhash_clusters, which runs
+    # the same simhash_text_batch kernel) ---
+    "docs_top_tokens_mg": q_docs_top_tokens_mg,
+    "docs_len_quantiles_mrl": q_docs_len_quantiles_mrl,
+    "knn_cosine_lsh_full": q_knn_cosine_lsh_full,
+    "knn_cosine_ivf_full": q_knn_cosine_ivf_full,
+    "docs_simhash_clusters_full": q_docs_simhash_clusters_full,
+    "docs_minhash_clusters_full": q_docs_minhash_clusters_full,
+    "er_clusters": q_er_clusters,
+    "er_golden": q_er_golden,
+    "er_blocking_metrics": q_er_blocking_metrics,
+    "er_incremental": q_er_incremental,
+    "pages_media_features": q_pages_media_features,
+    "docs_cdc_dedup": q_docs_cdc_dedup,
+    "docs_strip_dup_spans": q_docs_strip_dup_spans,
+    "embeddings_kmeans": q_embeddings_kmeans,
 }
 
 ORACLE_SQL = {
